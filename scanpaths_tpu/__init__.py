@@ -1,0 +1,21 @@
+"""scanpaths_tpu — a TPU-native framework for human scanpath prediction.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the Scanpaths
+reference (CVPR 2021, "Predicting Human Scanpaths in Visual Question
+Answering"): one codebase with three task plugins (AiR visual question
+answering, OSIE free viewing, COCO-Search18 visual search) instead of the
+reference's three copy-paste directories.
+
+Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
+  core/     grid geometry, fixation structs, layered config
+  data/     JSON fixation datasets -> packed device arrays
+  models/   dilated ResNet-50 + ConvLSTM decoder as one lax.scan program
+  ops/      device sampler, Pallas kernels
+  metrics/  ScanMatch / MultiMatch / SED / STDE — host oracles + batched JAX
+  train/    supervised + SCST steps (reward in-graph), pjit data parallel
+  eval/     human baseline + full metric sweeps, artifact dumpers
+  utils/    checkpointing (orbax), run records, logging
+  cli/      train/test entry points mirroring the reference flags
+"""
+
+__version__ = "0.1.0"
