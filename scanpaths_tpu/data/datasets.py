@@ -1,0 +1,448 @@
+"""Task datasets: fixation JSON -> packed numpy batches.
+
+One implementation with three task adapters instead of the reference's
+three copy-paste dataset modules:
+
+* ``osie``  — free viewing (reference OSIE/dataset/dataset.py)
+* ``air``   — VQA with machine-attention conditioning + answer
+              correctness (reference AiR/dataset/dataset.py)
+* ``coco``  — visual search with detector-bbox conditioning + 18
+              target categories (reference COCO_Search18/dataset/dataset.py)
+
+Each task exposes three views, mirroring the reference's three Dataset
+classes per task:
+
+* ``SupervisedDataset``  — per-subject training samples: image tensor,
+  soft target scanpath [T, H*W+1], durations, masks (+ conditioning);
+* ``EvaluationDataset``  — per-group (image / question / task-image)
+  samples with ALL subjects' ground-truth fixation vectors, both as
+  ragged host lists (for host metrics) and padded device tensors
+  (for the in-graph reward);
+* the RL view is the evaluation view over the train split (the
+  reference's ``*_rl`` classes are byte-identical to ``*_evaluation``
+  apart from the default split).
+
+Tensorization semantics match the reference exactly: grid
+discretization by integer division, ms -> s durations, soft targets
+with optional per-step Gaussian blur, termination one-hot at index 0,
+and the extra STOP-supervision step in ``action_mask``
+(reference OSIE/dataset/dataset.py:59-114).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from os.path import join
+from typing import Any, Callable
+
+import numpy as np
+
+from ..core.grid import FIX_DTYPE, GridSpec, fix_vector, pad_fix_vectors
+from .transforms import load_image, resize_map
+
+EPSILON = 1e-7
+
+COCO_OBJECT_NAMES = [
+    "bottle", "bowl", "car", "chair", "clock", "cup", "fork", "keyboard",
+    "knife", "laptop", "microwave", "mouse", "oven", "potted plant", "sink",
+    "stop sign", "toilet", "tv",
+]
+
+
+@dataclasses.dataclass
+class DataConfig:
+    img_dir: str
+    fix_dir: str
+    att_dir: str | None = None          # AiR attention maps / COCO detector dir
+    action_map: tuple[int, int] = (30, 40)
+    resize: tuple[int, int] = (240, 320)
+    max_length: int = 16
+    blur_sigma: float | None = None
+    detector_threshold: float = 0.8     # COCO (reference COCO opts.py:15)
+    coco_split: str = "split1"
+    max_subjects: int = 16              # padded subject axis for device GT
+    gt_max_length: int = 24             # padded fixation axis for device GT
+    cache_images: bool = True
+
+
+def tensorize_scanpath(pos_x, pos_y, duration_ms, origin_hw, cfg: DataConfig,
+                       clamp_to_grid: bool = False):
+    """Ground-truth scanpath -> (target [T, H*W+1], duration [T],
+    action_mask [T], duration_mask [T]).
+
+    Mirrors reference OSIE/dataset/dataset.py:68-102 (and the COCO
+    variant's coordinate clamping, COCO dataset.py:98-100, when
+    ``clamp_to_grid``).
+    """
+    mh, mw = cfg.action_map
+    t_max = cfg.max_length
+    oy, ox = origin_hw
+    down_x = ox / mw
+    down_y = oy / mh
+
+    pos_x = np.asarray(pos_x, np.float32).copy()
+    pos_y = np.asarray(pos_y, np.float32).copy()
+    duration_ms = np.asarray(duration_ms, np.float32)
+    if clamp_to_grid:
+        pos_x[pos_x >= mw * down_x] = mw * down_x - 1
+        pos_y[pos_y >= mh * down_y] = mh * down_y - 1
+
+    target = np.zeros((t_max, mh * mw + 1), np.float32)
+    duration = np.zeros(t_max, np.float32)
+    action_mask = np.zeros(t_max, np.float32)
+    duration_mask = np.zeros(t_max, np.float32)
+
+    n = min(len(pos_x), t_max)
+    xd = (pos_x[:n] / down_x).astype(np.int32)
+    yd = (pos_y[:n] / down_y).astype(np.int32)
+    duration[:n] = duration_ms[:n] / 1000.0
+    action_mask[:n] = 1
+    duration_mask[:n] = 1
+    if n <= t_max - 1:
+        action_mask[n] = 1  # extra STOP-supervision step
+
+    for i in range(t_max):
+        if i >= n:
+            target[i, 0] = 1.0
+        else:
+            grid = np.zeros((mh, mw), np.float32)
+            grid[yd[i], xd[i]] = 1.0
+            if cfg.blur_sigma:
+                import scipy.ndimage as filters
+                grid = filters.gaussian_filter(grid, cfg.blur_sigma)
+                grid /= grid.sum()
+            target[i, 1:] = grid.reshape(-1)
+    return target, duration, action_mask, duration_mask
+
+
+class _ImageCache:
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self._cache: dict[str, np.ndarray] = {}
+
+    def load(self, path: str, hw) -> np.ndarray:
+        if not self.enabled:
+            return load_image(path, *hw)
+        if path not in self._cache:
+            self._cache[path] = load_image(path, *hw)
+        return self._cache[path]
+
+
+# ---------------------------------------------------------------------------
+# Task adapters
+# ---------------------------------------------------------------------------
+
+class TaskAdapter:
+    """Task-specific record accessors; one subclass per task plugin."""
+
+    name = "base"
+
+    def __init__(self, cfg: DataConfig):
+        self.cfg = cfg
+
+    def load_records(self, split: str) -> list[dict]:
+        raise NotImplementedError
+
+    def group_key(self, rec) -> Any:
+        raise NotImplementedError
+
+    def image_path(self, rec) -> str:
+        raise NotImplementedError
+
+    def origin_hw(self, rec) -> tuple[int, int]:
+        raise NotImplementedError
+
+    def xyd_ms(self, rec):
+        """(pos_x, pos_y, duration_ms) arrays of the record."""
+        return (np.asarray(rec["X"], np.float32),
+                np.asarray(rec["Y"], np.float32),
+                np.asarray(rec["T"], np.float32))
+
+    def extras(self, rec) -> dict:
+        """Per-record conditioning tensors / labels."""
+        return {}
+
+    def clamp_to_grid(self) -> bool:
+        return False
+
+
+class OSIETask(TaskAdapter):
+    """Free viewing; no conditioning (reference OSIE/dataset/dataset.py:18-114)."""
+
+    name = "osie"
+    origin = (600, 800)
+
+    def load_records(self, split):
+        with open(join(self.cfg.fix_dir, f"osie_fixations_{split}.json")) as f:
+            return json.load(f)
+
+    def group_key(self, rec):
+        return rec["name"]
+
+    def image_path(self, rec):
+        return join(self.cfg.img_dir, rec["name"])
+
+    def origin_hw(self, rec):
+        return self.origin
+
+
+class AiRTask(TaskAdapter):
+    """VQA: machine-attention map + answer correctness
+    (reference AiR/dataset/dataset.py:20-210)."""
+
+    name = "air"
+
+    def load_records(self, split):
+        with open(join(self.cfg.fix_dir, f"AiR_fixations_{split}.json")) as f:
+            return json.load(f)
+
+    def group_key(self, rec):
+        return rec["question_id"]
+
+    def image_path(self, rec):
+        return join(self.cfg.img_dir, rec["image_id"])
+
+    def origin_hw(self, rec):
+        return rec["height"], rec["width"]
+
+    def xyd_ms(self, rec):
+        dur = (np.asarray(rec["T_end"], np.float32)
+               - np.asarray(rec["T_start"], np.float32))
+        return (np.asarray(rec["X"], np.float32),
+                np.asarray(rec["Y"], np.float32), dur)
+
+    def extras(self, rec):
+        # performance flag (reference AiR/dataset/dataset.py:149)
+        perf = (rec["subject_answer"] == rec["answer"]
+                and rec["subject_answer"] != "faild")
+        att = np.load(join(self.cfg.att_dir,
+                           rec["question_id"] + ".npy")).astype(np.float32)
+        att = resize_map(att, self.cfg.action_map)
+        att = att / att.max()
+        return {"attention_map": att[..., None],  # [mh, mw, 1] NHWC
+                "performance": np.bool_(perf),
+                "question_id": rec["question_id"]}
+
+
+class COCOTask(TaskAdapter):
+    """Visual search: detector-bbox attention + 18 categories
+    (reference COCO_Search18/dataset/dataset.py:24-212)."""
+
+    name = "coco"
+    origin = (320, 512)
+
+    def __init__(self, cfg: DataConfig):
+        super().__init__(cfg)
+        self.name2int = {n: i for i, n in enumerate(COCO_OBJECT_NAMES)}
+        det_file = join(cfg.att_dir or cfg.fix_dir,
+                        "coco_search18_detector.json")
+        self.imgs_2_det: dict[str, list] = {}
+        if os.path.exists(det_file):
+            with open(det_file) as f:
+                detector = json.load(f)
+            for det in detector:
+                if (det["category"] in self.name2int
+                        and det["score"] >= cfg.detector_threshold):
+                    self.imgs_2_det.setdefault(det["image_id"], []).append(det)
+
+    def load_records(self, split):
+        fn = f"coco_search18_fixations_TP_{split}_{self.cfg.coco_split}.json"
+        with open(join(self.cfg.fix_dir, fn)) as f:
+            return json.load(f)
+
+    def group_key(self, rec):
+        return (rec["task"], rec["name"])
+
+    def image_path(self, rec):
+        return join(self.cfg.img_dir, rec["task"], rec["name"])
+
+    def origin_hw(self, rec):
+        return self.origin
+
+    def clamp_to_grid(self):
+        return True
+
+    def extras(self, rec):
+        image_id = rec["name"].split(".")[0]
+        # Union of detector boxes of the target category at native
+        # detector resolution, then antialiased resize to the action map
+        # (reference COCO dataset.py:150-160).  The detector bboxes are
+        # in the original image frame; the reference reads the image
+        # size — COCO-Search18 stimuli are 1680x1050 natively but were
+        # distributed resized; we use the recorded origin frame.
+        det_h = rec.get("det_height", self.origin[0])
+        det_w = rec.get("det_width", self.origin[1])
+        att = np.zeros((det_h, det_w), np.float32)
+        for det in self.imgs_2_det.get(image_id, []):
+            if det["category"] == rec["task"]:
+                x0, y0, x1, y1 = (int(det["bbox"][0]), int(det["bbox"][1]),
+                                  int(det["bbox"][2]), int(det["bbox"][3]))
+                att[y0:y1, x0:x1] = 1.0
+        att = resize_map(att, self.cfg.action_map)
+        att = att / (att.max() + EPSILON)
+        return {"attention_map": att[..., None],
+                "task": np.int32(self.name2int[rec["task"]]),
+                "task_name": rec["task"]}
+
+
+TASKS: dict[str, Callable[[DataConfig], TaskAdapter]] = {
+    "osie": OSIETask, "air": AiRTask, "coco": COCOTask,
+}
+
+
+# ---------------------------------------------------------------------------
+# Dataset views
+# ---------------------------------------------------------------------------
+
+class SupervisedDataset:
+    """Per-subject supervised samples."""
+
+    def __init__(self, task: str | TaskAdapter, cfg: DataConfig,
+                 split: str = "train"):
+        self.cfg = cfg
+        self.task = task if isinstance(task, TaskAdapter) else TASKS[task](cfg)
+        self.records = self.task.load_records(split)
+        self._images = _ImageCache(cfg.cache_images)
+
+    def __len__(self):
+        return len(self.records)
+
+    def __getitem__(self, idx: int) -> dict:
+        rec = self.records[idx]
+        x, y, dur = self.task.xyd_ms(rec)
+        target, duration, amask, dmask = tensorize_scanpath(
+            x, y, dur, self.task.origin_hw(rec), self.cfg,
+            clamp_to_grid=self.task.clamp_to_grid())
+        out = {
+            "image": self._images.load(self.task.image_path(rec),
+                                       self.cfg.resize),
+            "target_scanpath": target,
+            "duration": duration,
+            "action_mask": amask,
+            "duration_mask": dmask,
+            "img_name": os.path.basename(self.task.image_path(rec)),
+        }
+        out.update(self.task.extras(rec))
+        return out
+
+
+class EvaluationDataset:
+    """Per-group samples with all subjects' ground truth."""
+
+    def __init__(self, task: str | TaskAdapter, cfg: DataConfig,
+                 split: str = "validation"):
+        self.cfg = cfg
+        self.task = task if isinstance(task, TaskAdapter) else TASKS[task](cfg)
+        self.records = self.task.load_records(split)
+        self._images = _ImageCache(cfg.cache_images)
+        self.groups: dict[Any, list[int]] = {}
+        for i, rec in enumerate(self.records):
+            self.groups.setdefault(self.task.group_key(rec), []).append(i)
+        self.keys = list(self.groups.keys())
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, idx: int) -> dict:
+        key = self.keys[idx]
+        members = [self.records[i] for i in self.groups[key]]
+        rec0 = members[0]
+        oy, ox = self.task.origin_hw(rec0)
+        ry, rx = self.cfg.resize
+        sx, sy = ox / rx, oy / ry
+
+        fix_vectors = []
+        performances = []
+        for rec in members:
+            x, y, dur = self.task.xyd_ms(rec)
+            length = rec.get("length", len(x))
+            fix_vectors.append(fix_vector(
+                (x / sx)[:length], (y / sy)[:length], (dur / 1000.0)[:length]))
+            if self.task.name == "air":
+                performances.append(
+                    rec["subject_answer"] == rec["answer"]
+                    and rec["subject_answer"] != "faild")
+
+        gt_fix, gt_len, gt_mask = pad_fix_vectors(
+            fix_vectors, self.cfg.gt_max_length, self.cfg.max_subjects)
+        out = {
+            "image": self._images.load(self.task.image_path(rec0),
+                                       self.cfg.resize),
+            "fix_vectors": fix_vectors,
+            "gt_fix": gt_fix, "gt_len": gt_len, "gt_mask": gt_mask,
+            "img_name": os.path.basename(self.task.image_path(rec0)),
+        }
+        out.update(self.task.extras(rec0))
+        if self.task.name == "air":
+            out["performances"] = performances
+            perf_pad = np.zeros(self.cfg.max_subjects, np.float32)
+            perf_pad[:len(performances)] = np.asarray(performances, np.float32)
+            out["gt_performance"] = perf_pad
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Loader
+# ---------------------------------------------------------------------------
+
+RAGGED_KEYS = ("fix_vectors", "performances", "img_name", "question_id",
+               "task_name")
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack numeric fields to [N, ...] arrays; ragged fields to lists.
+    Key naming matches the reference collate_func (pluralized)."""
+    out: dict[str, Any] = {}
+    first = samples[0]
+    plural = {"image": "images", "target_scanpath": "scanpaths",
+              "duration": "durations", "action_mask": "action_masks",
+              "duration_mask": "duration_masks",
+              "attention_map": "attention_maps", "img_name": "img_names",
+              "performance": "performances", "task": "tasks",
+              "question_id": "question_ids", "task_name": "task_names",
+              "fix_vectors": "fix_vectors", "performances": "performances",
+              "gt_fix": "gt_fix", "gt_len": "gt_len", "gt_mask": "gt_mask",
+              "gt_performance": "gt_performance"}
+    for key in first:
+        vals = [s[key] for s in samples]
+        name = plural.get(key, key)
+        if key in RAGGED_KEYS:
+            out[name] = vals
+        else:
+            out[name] = np.stack(vals)
+    return out
+
+
+class Loader:
+    """Minimal epoch loader: seeded shuffle, fixed batch size, optionally
+    dropping the trailing partial batch (jit-friendly static shapes)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        self.epoch += 1
+        for start in range(0, n, self.batch_size):
+            batch_idx = idx[start:start + self.batch_size]
+            if self.drop_last and len(batch_idx) < self.batch_size:
+                break
+            yield collate([self.dataset[int(i)] for i in batch_idx])

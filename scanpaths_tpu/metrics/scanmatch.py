@@ -110,8 +110,10 @@ class ScanMatch:
 
         max_f = F.max()
         max_sub = self.SubMatrix.max()
-        scale = max_sub * max(m, n) if max(m, n) else 1.0
-        score = max_f / scale
+        scale = max_sub * max(m, n)
+        # Two empty sequences give 0/0 -> nan, like the reference
+        # (scanmatch.py:190-193 divides unconditionally).
+        score = max_f / scale if scale > 0 else float("nan")
         align = self._traceback(F, A, B) if (n and m) else np.zeros((0, 2))
         return score, align, F.T
 

@@ -11,8 +11,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pathlib  # noqa: E402
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compile cache: the DP-scan kernels are compile-heavy; cache
+# across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 

@@ -1,0 +1,130 @@
+"""Data layer: tensorization semantics and task adapters on synthetic
+dataset trees."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from scanpaths_tpu.data.datasets import (  # noqa: E402
+    DataConfig,
+    EvaluationDataset,
+    Loader,
+    SupervisedDataset,
+    tensorize_scanpath,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    from make_synth_data import make_all
+
+    root = tmp_path_factory.mktemp("synth")
+    make_all(str(root))
+    return str(root)
+
+
+def cfg_for(root, task):
+    if task == "osie":
+        return DataConfig(img_dir=f"{root}/osie/stimuli",
+                          fix_dir=f"{root}/osie/fixations")
+    if task == "air":
+        return DataConfig(img_dir=f"{root}/air/stimuli",
+                          fix_dir=f"{root}/air/fixations",
+                          att_dir=f"{root}/air/attention")
+    return DataConfig(img_dir=f"{root}/coco/images",
+                      fix_dir=f"{root}/coco/fixations",
+                      att_dir=f"{root}/coco/detectors",
+                      detector_threshold=0.5)
+
+
+def test_tensorize_matches_reference_semantics():
+    cfg = DataConfig(img_dir="", fix_dir="")
+    # 3 fixations on a 600x800 image
+    x = [100.0, 780.0, 400.0]
+    y = [50.0, 580.0, 300.0]
+    t = [250.0, 400.0, 125.0]
+    target, duration, amask, dmask = tensorize_scanpath(x, y, t, (600, 800), cfg)
+    assert target.shape == (16, 1201)
+    # grid indices: down_x = 20, down_y = 20
+    exp_cells = [(int(yy / 20), int(xx / 20)) for xx, yy in zip(x, y)]
+    for i, (gy, gx) in enumerate(exp_cells):
+        assert target[i, 1 + gy * 40 + gx] == 1.0
+        assert target[i, 0] == 0.0
+    # steps beyond the scanpath supervise STOP
+    assert np.all(target[3:, 0] == 1.0)
+    np.testing.assert_allclose(duration[:3], np.array(t) / 1000.0)
+    # action mask has one extra step for STOP supervision
+    np.testing.assert_array_equal(amask[:5], [1, 1, 1, 1, 0])
+    np.testing.assert_array_equal(dmask[:4], [1, 1, 1, 0])
+
+
+def test_tensorize_full_length_no_extra_stop():
+    cfg = DataConfig(img_dir="", fix_dir="")
+    x = list(np.linspace(10, 700, 16))
+    y = list(np.linspace(10, 500, 16))
+    t = [100.0] * 16
+    target, _, amask, _ = tensorize_scanpath(x, y, t, (600, 800), cfg)
+    assert amask.sum() == 16
+    assert np.all(target[:, 0] == 0.0)
+
+
+def test_tensorize_blur_normalized():
+    cfg = DataConfig(img_dir="", fix_dir="", blur_sigma=1.0)
+    target, _, _, _ = tensorize_scanpath([400.0], [300.0], [100.0],
+                                         (600, 800), cfg)
+    assert target[0, 1:].sum() == pytest.approx(1.0, rel=1e-5)
+    assert (target[0, 1:] > 0).sum() > 1  # actually blurred
+
+
+@pytest.mark.parametrize("task", ["osie", "air", "coco"])
+def test_supervised_dataset(synth_root, task):
+    ds = SupervisedDataset(task, cfg_for(synth_root, task), split="train")
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["image"].shape == (240, 320, 3)
+    assert s["image"].dtype == np.float32
+    assert s["target_scanpath"].shape == (16, 1201)
+    if task == "air":
+        assert s["attention_map"].shape == (30, 40, 1)
+        assert s["attention_map"].max() == pytest.approx(1.0)
+        assert isinstance(bool(s["performance"]), bool)
+    if task == "coco":
+        assert s["attention_map"].shape == (30, 40, 1)
+        assert 0 <= int(s["task"]) < 18
+
+
+@pytest.mark.parametrize("task", ["osie", "air", "coco"])
+def test_evaluation_dataset_and_loader(synth_root, task):
+    ds = EvaluationDataset(task, cfg_for(synth_root, task),
+                           split="validation")
+    assert len(ds) > 0
+    s = ds[0]
+    assert len(s["fix_vectors"]) >= 2
+    # coordinates rescaled into the 320x240 frame
+    for v in s["fix_vectors"]:
+        assert v["start_x"].max() < 320.5
+        assert v["start_y"].max() < 240.5
+        assert np.all(v["duration"] < 10.0)  # seconds, not ms
+    assert s["gt_fix"].shape == (16, 24, 3)
+    assert s["gt_mask"].sum() == len(s["fix_vectors"])
+
+    loader = Loader(ds, batch_size=4, shuffle=True, seed=3)
+    batch = next(iter(loader))
+    assert batch["images"].shape[0] == min(4, len(ds))
+    assert len(batch["fix_vectors"]) == batch["images"].shape[0]
+    assert batch["gt_fix"].shape[1:] == (16, 24, 3)
+
+
+def test_loader_shuffle_deterministic(synth_root):
+    ds = SupervisedDataset("osie", cfg_for(synth_root, "osie"), split="train")
+    l1 = Loader(ds, batch_size=4, shuffle=True, seed=7)
+    l2 = Loader(ds, batch_size=4, shuffle=True, seed=7)
+    b1, b2 = next(iter(l1)), next(iter(l2))
+    np.testing.assert_array_equal(b1["images"], b2["images"])
+    # next epoch reshuffles
+    b1b = next(iter(l1))
+    assert not np.array_equal(b1["images"], b1b["images"])

@@ -1,0 +1,138 @@
+"""Create a miniature synthetic dataset tree for all three tasks, used
+by tests and CLI smoke drives (real datasets are not distributed with
+the repo).
+
+Layout written under the output root:
+  osie/stimuli/*.jpg            osie/fixations/osie_fixations_{split}.json
+  air/stimuli/*.jpg             air/fixations/AiR_fixations_{split}.json
+  air/attention/*.npy
+  coco/images/<task>/*.jpg      coco/fixations/coco_search18_fixations_TP_{split}_split1.json
+  coco/detectors/coco_search18_detector.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from os.path import join
+
+import numpy as np
+from PIL import Image
+
+from scanpaths_tpu.data.datasets import COCO_OBJECT_NAMES
+
+
+def _write_image(path, rng, hw):
+    arr = rng.integers(0, 255, size=(*hw, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _scanpath(rng, w, h, min_len=3, max_len=14):
+    l = int(rng.integers(min_len, max_len + 1))
+    return (rng.uniform(0, w - 1, l).tolist(), rng.uniform(0, h - 1, l).tolist(),
+            rng.uniform(120, 640, l).tolist(), l)
+
+
+def make_osie(root, rng, n_images=6, n_subjects=4,
+              splits=("train", "validation", "test")):
+    os.makedirs(join(root, "stimuli"), exist_ok=True)
+    os.makedirs(join(root, "fixations"), exist_ok=True)
+    per_split = {}
+    img_id = 0
+    for split in splits:
+        recs = []
+        for _ in range(n_images):
+            name = f"{1001 + img_id}.jpg"
+            img_id += 1
+            _write_image(join(root, "stimuli", name), rng, (600, 800))
+            for _ in range(n_subjects):
+                x, y, t, l = _scanpath(rng, 800, 600)
+                recs.append({"name": name, "subject": int(rng.integers(0, 99)),
+                             "X": x, "Y": y, "T": t, "length": l,
+                             "split": split})
+        per_split[split] = recs
+        with open(join(root, "fixations", f"osie_fixations_{split}.json"),
+                  "w") as f:
+            json.dump(recs, f)
+    return per_split
+
+
+def make_air(root, rng, n_questions=6, n_subjects=4,
+             splits=("train", "validation", "test")):
+    os.makedirs(join(root, "stimuli"), exist_ok=True)
+    os.makedirs(join(root, "fixations"), exist_ok=True)
+    os.makedirs(join(root, "attention"), exist_ok=True)
+    qid = 0
+    for split in splits:
+        recs = []
+        for _ in range(n_questions):
+            img_name = f"img_{qid}.jpg"
+            h, w = int(rng.integers(300, 700)), int(rng.integers(400, 900))
+            _write_image(join(root, "stimuli", img_name), rng, (h, w))
+            question_id = f"q{qid:05d}"
+            np.save(join(root, "attention", question_id + ".npy"),
+                    rng.uniform(0.05, 1.0, size=(15, 20)).astype(np.float32))
+            answer = "yes"
+            qid += 1
+            for s in range(n_subjects):
+                x, y, t, l = _scanpath(rng, w, h)
+                t_start = np.cumsum([0.0] + t[:-1]).tolist()
+                t_end = (np.asarray(t_start) + np.asarray(t)).tolist()
+                recs.append({
+                    "image_id": img_name, "question_id": question_id,
+                    "height": h, "width": w,
+                    "X": x, "Y": y, "T_start": t_start, "T_end": t_end,
+                    "length": l, "answer": answer,
+                    "subject_answer": "yes" if rng.uniform() < 0.6 else "no",
+                })
+        with open(join(root, "fixations", f"AiR_fixations_{split}.json"),
+                  "w") as f:
+            json.dump(recs, f)
+
+
+def make_coco(root, rng, n_images=6, n_subjects=3,
+              splits=("train", "validation")):
+    os.makedirs(join(root, "fixations"), exist_ok=True)
+    os.makedirs(join(root, "detectors"), exist_ok=True)
+    detector = []
+    img_id = 0
+    for split in splits:
+        recs = []
+        for _ in range(n_images):
+            task = COCO_OBJECT_NAMES[int(rng.integers(0, 18))]
+            name = f"coco_{img_id:04d}.jpg"
+            img_id += 1
+            os.makedirs(join(root, "images", task), exist_ok=True)
+            _write_image(join(root, "images", task, name), rng, (320, 512))
+            x0, y0 = rng.uniform(0, 300), rng.uniform(0, 200)
+            detector.append({
+                "image_id": name.split(".")[0], "category": task,
+                "score": float(rng.uniform(0.5, 1.0)),
+                "bbox": [float(x0), float(y0), float(x0 + 100), float(y0 + 80)],
+            })
+            for _ in range(n_subjects):
+                x, y, t, l = _scanpath(rng, 512, 320)
+                recs.append({"name": name, "task": task,
+                             "X": x, "Y": y, "T": t, "length": l})
+        fn = f"coco_search18_fixations_TP_{split}_split1.json"
+        with open(join(root, "fixations", fn), "w") as f:
+            json.dump(recs, f)
+    with open(join(root, "detectors", "coco_search18_detector.json"),
+              "w") as f:
+        json.dump(detector, f)
+
+
+def make_all(root: str, seed: int = 0, **kw):
+    rng = np.random.default_rng(seed)
+    make_osie(join(root, "osie"), rng, **kw.get("osie", {}))
+    make_air(join(root, "air"), rng, **kw.get("air", {}))
+    make_coco(join(root, "coco"), rng, **kw.get("coco", {}))
+    return root
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sp_synth_data"
+    make_all(out)
+    print(out)
