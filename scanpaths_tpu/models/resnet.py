@@ -1,0 +1,167 @@
+"""Dilated ResNet-50 backbone (flax.linen, NHWC).
+
+Structural contract (reference OSIE/models/resnet.py:57-130 plus the
+SAM-style dilation patch applied in
+OSIE/models/baseline_attention.py:212-224):
+
+* Caffe-style bottleneck: the stride sits on the 1x1 ``conv1`` of each
+  block (not on conv2 as in modern torchvision);
+* stem maxpool is kernel 3, stride 2, padding 0, ``ceil_mode=True``;
+* the dilation patch removes the stride of layer2[0] and layer4[0]
+  (conv1 + downsample) and dilates every 3x3 conv of layer3 (rate 2)
+  and layer4 (rate 4), so a 240x320 input yields a stride-8 feature
+  grid of 30x40 with 2048 channels;
+* the classifier head (avgpool + fc) is dropped.
+
+Pretrained weights: `load_torch_state_dict` converts a torchvision-era
+``resnet50`` state dict (e.g. resnet50-19c8e357.pth) into this module's
+parameter tree (OIHW->HWIO transpose, BN stats into ``batch_stats``).
+With no checkpoint on disk the backbone initializes with the reference
+scheme: He-normal convs, unit-gamma BN (resnet.py:113-119).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def he_conv_init(key, shape, dtype=jnp.float32):
+    """normal(0, sqrt(2 / (kh*kw*out))) — the reference's conv init."""
+    kh, kw, _, out = shape
+    n = kh * kw * out
+    return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / n)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, s, d, name: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding=[(d * (k - 1) // 2,) * 2] * 2,
+            kernel_dilation=(d, d), use_bias=False,
+            kernel_init=he_conv_init, name=name)
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name=name)
+
+        residual = x
+        # stride on conv1 (Caffe-style, reference resnet.py:63)
+        out = conv(self.planes, 1, self.stride, 1, "conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = conv(self.planes, 3, 1, self.dilation, "conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = conv(self.planes * self.expansion, 1, 1, 1, "conv3")(out)
+        out = bn("bn3")(out)
+        if self.has_downsample:
+            residual = conv(self.planes * self.expansion, 1, self.stride, 1,
+                            "downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+def _ceil_maxpool(x, window=3, stride=2):
+    """MaxPool2d(kernel=3, stride=2, padding=0, ceil_mode=True)."""
+    h, w = x.shape[1], x.shape[2]
+    out_h = -(-(h - window) // stride) + 1
+    out_w = -(-(w - window) // stride) + 1
+    pad_h = max(0, (out_h - 1) * stride + window - h)
+    pad_w = max(0, (out_w - 1) * stride + window - w)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, window, window, 1),
+        (1, stride, stride, 1),
+        [(0, 0), (0, pad_h), (0, pad_w), (0, 0)])
+
+
+class DilatedResNet50(nn.Module):
+    """Stride-8 ResNet-50 trunk; input NHWC [N, 240, 320, 3] ->
+    [N, 30, 40, 2048]."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, kernel_init=he_conv_init, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(x)
+        x = nn.relu(x)
+        x = _ceil_maxpool(x)
+
+        # (planes, first-block stride, dilation) per stage after the
+        # dilation patch (baseline_attention.py:212-224)
+        stages = [(64, 1, 1), (128, 1, 1), (256, 2, 2), (512, 1, 4)]
+        for si, ((planes, stride, dilation), blocks) in enumerate(
+                zip(stages, self.layers), start=1):
+            for bi in range(blocks):
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if bi == 0 else 1,
+                    dilation=dilation,
+                    has_downsample=(bi == 0),
+                    name=f"layer{si}_block{bi}",
+                )(x, train=train)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# torchvision-era state-dict conversion
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(state_dict: dict[str, Any],
+                          layers: Sequence[int] = (3, 4, 6, 3)):
+    """Convert a torch ``resnet50`` state dict (old torchvision naming:
+    conv1/bn1/layer{1-4}.{i}.{conv,bn}{1-3}/downsample.{0,1}) into
+    (params, batch_stats) pytrees for :class:`DilatedResNet50`."""
+
+    def t(w):  # torch OIHW conv -> flax HWIO
+        return jnp.asarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+    def v(w):
+        return jnp.asarray(np.asarray(w))
+
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def put_bn(dst_p, dst_s, prefix):
+        dst_p["scale"] = v(state_dict[prefix + ".weight"])
+        dst_p["bias"] = v(state_dict[prefix + ".bias"])
+        dst_s["mean"] = v(state_dict[prefix + ".running_mean"])
+        dst_s["var"] = v(state_dict[prefix + ".running_var"])
+
+    params["conv1"] = {"kernel": t(state_dict["conv1.weight"])}
+    params["bn1"] = {}
+    stats["bn1"] = {}
+    put_bn(params["bn1"], stats["bn1"], "bn1")
+
+    for si, blocks in enumerate(layers, start=1):
+        for bi in range(blocks):
+            name = f"layer{si}_block{bi}"
+            src = f"layer{si}.{bi}"
+            p: dict[str, Any] = {}
+            s: dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                p[f"conv{ci}"] = {"kernel": t(state_dict[f"{src}.conv{ci}.weight"])}
+                p[f"bn{ci}"] = {}
+                s[f"bn{ci}"] = {}
+                put_bn(p[f"bn{ci}"], s[f"bn{ci}"], f"{src}.bn{ci}")
+            if f"{src}.downsample.0.weight" in state_dict:
+                p["downsample_conv"] = {
+                    "kernel": t(state_dict[f"{src}.downsample.0.weight"])}
+                p["downsample_bn"] = {}
+                s["downsample_bn"] = {}
+                put_bn(p["downsample_bn"], s["downsample_bn"],
+                       f"{src}.downsample.1")
+            params[name] = p
+            stats[name] = s
+    return params, stats

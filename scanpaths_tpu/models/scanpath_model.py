@@ -1,0 +1,233 @@
+"""The scanpath prediction model: dilated ResNet-50 encoder + ConvLSTM
+decoder, with the whole T-step decode expressed as one ``lax.scan``
+program.
+
+This is ONE model with three task plugins, replacing the reference's
+three near-clone modules:
+
+* task="osie": no conditioning, single head stream
+  (reference OSIE/models/baseline_attention.py:179-414)
+* task="air":  machine-attention conditioning, dual good/poor streams
+  driving a shared ConvLSTM (reference AiR/models/baseline_attention.py:179-510)
+* task="coco": detector-attention conditioning + per-category head bank
+  (reference COCO_Search18/models/baseline_attention_multihead.py:179-424)
+
+Behavioural contract preserved from the reference:
+* softmax over actions is applied ONLY in eval mode; training returns
+  raw logits and the CE loss applies its own softmax
+  (baseline_attention.py:153-154, loss.py:12);
+* the action/saliency map fed back into the history attention is the
+  relu'd pre-softmax map;
+* histories grow by one entry per step and are re-attended with the
+  current step's features (here: fixed [T+1] buffers + masked softmax);
+* the AiR training forward selects the good/poor stream per sample by
+  the ground-truth performance flag (AiR baseline_attention.py:360-374,
+  vectorized here with a select).
+
+All tensors are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .components import (
+    Conditioner,
+    FusedConvLSTMCell,
+    PredictHead,
+    SemanticAttention,
+    SpatialAttention,
+    XGates,
+    dense_init,
+    xavier_conv_init,
+)
+from .resnet import DilatedResNet50
+
+
+class ScanpathModel(nn.Module):
+    task: str = "osie"
+    embed: int = 512
+    seq_len: int = 16
+    map_h: int = 30
+    map_w: int = 40
+    num_categories: int = 18  # coco head bank size
+
+    @property
+    def hw(self) -> int:
+        return self.map_h * self.map_w
+
+    def setup(self):
+        self.backbone = DilatedResNet50()
+        self.sal_conv = nn.Conv(self.embed, (3, 3), padding=[(1, 1), (1, 1)],
+                                kernel_init=xavier_conv_init)
+        self.xgates = XGates(self.embed)
+        self.lstm = FusedConvLSTMCell(
+            self.embed, num_signals=2 if self.task == "air" else 1)
+        self.semantic_embed = nn.Dense(self.embed, kernel_init=dense_init)
+        self.spatial_embed = nn.Dense(self.hw, kernel_init=dense_init)
+        self.semantic_att = SemanticAttention(self.embed)
+        self.spatial_att = SpatialAttention(self.map_h, self.map_w)
+        mode = {"osie": "single", "air": "dual", "coco": "bank"}[self.task]
+        self.conditioner = Conditioner(mode=mode, embed=self.embed,
+                                       num_heads=self.num_categories)
+        self.head = PredictHead(self.map_h, self.map_w)
+
+    # -- feature extraction -------------------------------------------------
+
+    def _features_from_map(self, amap, visual):
+        """Saliency/attention map [N, H, W] + visual [N, H, W, C] ->
+        (embedded spatial [N, HW], embedded semantic [N, C]).
+
+        Mirrors get_spatial_semantic / get_channel_semantic + relu +
+        embed (reference baseline_attention.py:226-236, 263-268)."""
+        prod = amap[..., None] * visual
+        spatial = nn.relu(jnp.mean(prod, axis=-1))          # [N, H, W]
+        spatial = self.spatial_embed(spatial.reshape(spatial.shape[0], -1))
+        semantic = nn.relu(jnp.mean(prod, axis=(1, 2)))     # [N, C]
+        semantic = self.semantic_embed(semantic)
+        return spatial, semantic
+
+    def _new_stream_entry(self, amap, visual):
+        spat, sem = self._features_from_map(amap, visual)
+        return {
+            "spat": spat,
+            "spat_conv": self.spatial_att.project(spat),
+            "sem": sem,
+            "sem_proj": self.semantic_att.project(sem),
+        }
+
+    def _init_stream(self, entry, n):
+        t1 = self.seq_len + 1
+
+        def buf(x):
+            out = jnp.zeros((x.shape[0], t1) + x.shape[1:], x.dtype)
+            return out.at[:, 0].set(x)
+
+        return {"hist": jax.tree.map(buf, entry), "cur": entry}
+
+    def _attend(self, stream, valid):
+        """Compute (spatial_mem [N, HW], semantic_mem [N, C])."""
+        h = stream["hist"]
+        spatial_mem = self.spatial_att(h["spat"], h["spat_conv"],
+                                       stream["cur"]["spat"], valid)
+        semantic_mem = self.semantic_att(h["sem"], h["sem_proj"],
+                                         stream["cur"]["sem"], valid)
+        return spatial_mem, semantic_mem
+
+    def _write(self, stream, entry, slot):
+        hist = {k: stream["hist"][k].at[:, slot].set(entry[k])
+                for k in stream["hist"]}
+        return {"hist": hist, "cur": entry}
+
+    # -- decode step --------------------------------------------------------
+
+    def _step(self, carry, _):
+        n = carry["h"].shape[0]
+        step = carry["step"]
+        valid = jnp.arange(self.seq_len + 1) <= step
+
+        signals = []
+        for stream in carry["streams"]:
+            smem, cmem = self._attend(stream, valid)
+            ss = smem.reshape(n, self.map_h, self.map_w, 1) \
+                * cmem[:, None, None, :]
+            signals.append(ss)
+
+        h, c = self.lstm(carry["xg"], carry["h"], carry["c"], signals)
+        feats = self.conditioner(h, carry.get("task_ids"))
+
+        outs = []
+        new_streams = []
+        for feat, stream in zip(feats, carry["streams"]):
+            z, mu, sigma2, amap = self.head(feat)
+            outs.append({"z": z, "mu": mu, "sigma2": sigma2, "amap": amap})
+            entry = self._new_stream_entry(amap, carry["visual"])
+            new_streams.append(self._write(stream, entry, step + 1))
+
+        carry = dict(carry, h=h, c=c, streams=new_streams, step=step + 1)
+        ys = outs[0] if len(outs) == 1 else {"good": outs[0], "poor": outs[1]}
+        return carry, ys
+
+    # -- full forward -------------------------------------------------------
+
+    def __call__(self, images, attention_maps=None, performances=None,
+                 task_ids=None, train: bool = False):
+        """images: [N, 240, 320, 3] NHWC.  attention_maps: [N, H, W, 1]
+        (air/coco) or None (osie -> zeros).  performances: [N] bool
+        (air training).  task_ids: [N] int32 (coco)."""
+        n = images.shape[0]
+        x = self.backbone(images, train=train)
+        visual = nn.relu(self.sal_conv(x))                  # [N, H, W, C]
+
+        if attention_maps is None:
+            amap0 = jnp.zeros((n, self.map_h, self.map_w))
+        else:
+            amap0 = attention_maps[..., 0]
+
+        n_streams = 2 if self.task == "air" else 1
+        entry0 = self._new_stream_entry(amap0, visual)
+        streams = [self._init_stream(entry0, n) for _ in range(n_streams)]
+
+        carry = {
+            "h": jnp.zeros_like(visual),
+            "c": jnp.zeros_like(visual),
+            "xg": self.xgates(visual),
+            "visual": visual,
+            "streams": streams,
+            "step": jnp.int32(0),
+        }
+        if self.task == "coco":
+            carry["task_ids"] = task_ids
+
+        scan = nn.scan(lambda mdl, c, xs: mdl._step(c, xs),
+                       variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": False},
+                       length=self.seq_len)
+        _, ys = scan(self, carry, None)
+
+        def stack(seq_outs):
+            # ys leaves are [T, N, ...] -> [N, T, ...]
+            z = jnp.swapaxes(seq_outs["z"], 0, 1)           # [N, T, A]
+            mu = jnp.swapaxes(seq_outs["mu"], 0, 1)         # [N, T]
+            sigma2 = jnp.swapaxes(seq_outs["sigma2"], 0, 1)
+            amap = jnp.swapaxes(seq_outs["amap"], 0, 1)     # [N, T, H, W]
+            return z, mu, sigma2, amap
+
+        if self.task != "air":
+            z, mu, sigma2, amap = stack(ys)
+            if train:
+                # raw logits; CE applies its own softmax (reference
+                # loss.py:12, baseline_attention.py:153-154)
+                return {"actions": z, "log_normal_mu": mu,
+                        "log_normal_sigma2": sigma2}
+            probs = jax.nn.softmax(z, axis=-1)
+            return {"all_actions_prob": probs, "log_normal_mu": mu,
+                    "log_normal_sigma2": sigma2, "action_map": amap}
+
+        gz, gmu, gs2, gmap = stack(ys["good"])
+        pz, pmu, ps2, pmap = stack(ys["poor"])
+        if train and performances is not None:
+            sel = performances.astype(bool)
+            z = jnp.where(sel[:, None, None], gz, pz)
+            mu = jnp.where(sel[:, None], gmu, pmu)
+            sigma2 = jnp.where(sel[:, None], gs2, ps2)
+            return {"all_actions_prob": z, "log_normal_mu": mu,
+                    "log_normal_sigma2": sigma2}
+        out = {
+            "good_all_actions_prob": gz if train else jax.nn.softmax(gz, -1),
+            "good_log_normal_mu": gmu, "good_log_normal_sigma2": gs2,
+            "good_action_map": gmap,
+            "poor_all_actions_prob": pz if train else jax.nn.softmax(pz, -1),
+            "poor_log_normal_mu": pmu, "poor_log_normal_sigma2": ps2,
+            "poor_action_map": pmap,
+        }
+        return out
+
+
+def create_model(task: str, **kw) -> ScanpathModel:
+    assert task in ("osie", "air", "coco"), task
+    return ScanpathModel(task=task, **kw)

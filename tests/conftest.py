@@ -3,7 +3,9 @@ sharded/pjit paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the shell may pin JAX_PLATFORMS=axon (the TPU tunnel),
+# which would route every test compile through the remote service.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
