@@ -1,0 +1,107 @@
+"""Test/inference entry point (reference AiR/test.py, OSIE/test.py,
+COCO_Search18/test.py): load checkpoint_best, print the human baseline,
+sample eval_repeat_num scanpaths per image (x2 streams for AiR), dump
+the prediction JSON, run the full metric suite.
+
+COCO evaluates its validation split and writes
+``validation_predicts.json`` (no public test split — reference
+COCO_Search18/test.py:67-68); the others write ``test_predicts.json``.
+"""
+
+from __future__ import annotations
+
+import json
+from os.path import join
+
+import numpy as np
+
+from ..core.config import parse_opt
+
+
+def dump_record(img_name, fix_vector, trial, extra):
+    rec = {"img_names" if extra else "name": img_name}
+    rec.update(extra or {})
+    arr = np.array(fix_vector.tolist()).reshape(-1, 3)
+    rec["repeat_id"] = trial + 1
+    rec["X"] = list(map(float, arr[:, 0]))
+    rec["Y"] = list(map(float, arr[:, 1]))
+    rec["T"] = list(map(float, arr[:, 2] * 1000))
+    rec["length"] = len(rec["X"])
+    return rec
+
+
+def main(argv=None):
+    args = parse_opt(argv)
+    np.random.seed(args.seed)
+    from ..metrics import evaluation as heval
+    from ..train.trainer import Trainer
+    from ..utils.checkpointing import restore_pytree
+
+    # reuse the Trainer plumbing with the evaluation split
+    args.resume_dir = args.evaluation_dir or args.resume_dir
+    trainer = Trainer(args)
+    split = "validation" if args.task == "coco" else "test"
+    from ..data.datasets import EvaluationDataset, Loader
+    from ..train.trainer import data_config
+    loader = Loader(EvaluationDataset(args.task, data_config(args),
+                                      split=split),
+                    batch_size=args.batch, shuffle=False)
+
+    # load best checkpoint (reference test.py loads checkpoint_best)
+    best_path = join(trainer.checkpoints_dir, "checkpoint_best.msgpack")
+    restored = restore_pytree(
+        best_path, {"model": {"params": trainer.state.params,
+                              "batch_stats": trainer.state.batch_stats}})
+    trainer.state = trainer.state.replace(
+        params=restored["model"]["params"],
+        batch_stats=restored["model"]["batch_stats"])
+
+    human_metrics, human_std, _ = heval.human_evaluation(loader,
+                                                         task=args.task)
+    trainer.logger.info("The metrics for human performance are: ")
+    trainer._log_metric_tree_quiet(human_metrics, human_std)
+
+    repeat = args.eval_repeat_num
+    all_gt, all_pred, all_perf, all_alloc = [], [], [], []
+    predict_results = []
+    for batch in loader:
+        n = len(batch["fix_vectors"])
+        streams = (("good", True), ("poor", False)) if args.task == "air" \
+            else ((None, None),)
+        for stream, flag in streams:
+            preds = trainer.decode_batch(batch, repeat, stream)
+            for r in range(repeat):
+                all_gt.extend(batch["fix_vectors"])
+                if args.task == "air":
+                    all_perf.extend(batch["performances"])
+                    all_alloc.extend([flag] * n)
+                all_pred.extend(preds[r * n:(r + 1) * n])
+                for i in range(n):
+                    extra = {}
+                    if args.task == "air":
+                        extra = {"qid": batch["question_ids"][i],
+                                 "performance": flag}
+                    elif args.task == "coco":
+                        extra = {"task": batch["task_names"][i]}
+                    predict_results.append(dump_record(
+                        batch["img_names"][i], preds[r * n + i], r,
+                        extra if args.task != "osie" else None))
+
+    if args.task == "air":
+        cur_metrics, cur_std, _ = heval.evaluation_performance_related(
+            all_gt, all_pred, all_perf, all_alloc)
+    else:
+        cur_metrics, cur_std, _ = heval.evaluation(all_gt, all_pred)
+
+    name = ("validation_predicts.json" if args.task == "coco"
+            else "test_predicts.json")
+    with open(join(trainer.log_dir, name), "w") as f:
+        json.dump(predict_results, f, indent=2)
+
+    trainer.logger.info("The metrics for best model performance are: ")
+    trainer._log_metric_tree_quiet(cur_metrics, cur_std)
+    return cur_metrics
+
+
+if __name__ == "__main__":
+    main()

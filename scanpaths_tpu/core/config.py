@@ -1,0 +1,158 @@
+"""Layered configuration system.
+
+Reproduces the reference's override precedence exactly
+(reference AiR/opts.py:41-71 + AiR/utils/config.py yacs CfgNode):
+
+  argparse defaults  <  --cfg yaml (with recursive ``_BASE_``
+  inheritance)  <  --set_cfgs k v ...  <  explicit CLI flags
+
+Unknown yaml keys warn instead of failing (opts.py:63-64).  One parser
+serves all three tasks; per-task defaults follow the reference opts
+files (OSIE seed=10 / wd=5e-4; AiR seed=0 / wd=5e-5 / lambda_5; COCO
+seed=0 / wd=5e-4 / detector_threshold=0.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+
+import yaml
+
+BASE_KEY = "_BASE_"
+
+
+def load_yaml_with_base(path: str) -> dict:
+    """Load a yaml file, recursively merging a ``_BASE_`` parent
+    (reference utils/config.py:33-77)."""
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    if BASE_KEY in cfg:
+        base_path = cfg.pop(BASE_KEY)
+        if not os.path.isabs(base_path):
+            base_path = os.path.join(os.path.dirname(path), base_path)
+        base = load_yaml_with_base(base_path)
+        merged = _merge(base, cfg)
+        return merged
+    return cfg
+
+
+def _merge(base: dict, override: dict) -> dict:
+    out = copy.deepcopy(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def merge_set_cfgs(cfg: dict, set_cfgs: list[str]) -> dict:
+    """Merge a flat ``k v k v ...`` override list (yaml-parsed values)."""
+    assert len(set_cfgs) % 2 == 0, "set_cfgs expects key value pairs"
+    out = dict(cfg)
+    for k, v in zip(set_cfgs[0::2], set_cfgs[1::2]):
+        out[k] = yaml.safe_load(v)
+    return out
+
+
+TASK_DEFAULTS = {
+    "osie": dict(seed=10, weight_decay=5e-4, img_dir="./data/stimuli",
+                 fix_dir="./data/fixations"),
+    "air": dict(seed=0, weight_decay=5e-5, img_dir="./data/stimuli",
+                fix_dir="./data/fixations"),
+    "coco": dict(seed=0, weight_decay=5e-4, img_dir="./data/images",
+                 fix_dir="./data/fixations"),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Scanpath prediction for images (TPU-native)")
+    p.add_argument("--task", type=str, default="osie",
+                   choices=("osie", "air", "coco"))
+    p.add_argument("--mode", type=str, default="train")
+    p.add_argument("--img_dir", type=str, default=None)
+    p.add_argument("--fix_dir", type=str, default=None)
+    p.add_argument("--att_dir", type=str, default=None,
+                   help="AiR attention maps dir")
+    p.add_argument("--detector_dir", type=str, default=None,
+                   help="COCO detector results dir")
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--map_width", type=int, default=40)
+    p.add_argument("--map_height", type=int, default=30)
+    p.add_argument("--blur_sigma", type=float, default=None)
+    p.add_argument("--detector_threshold", type=float, default=0.8)
+    p.add_argument("--clip", type=float, default=12.5)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--epoch", type=int, default=10)
+    p.add_argument("--warmup_epoch", type=int, default=1)
+    p.add_argument("--start_rl_epoch", type=int, default=5)
+    p.add_argument("--rl_sample_number", type=int, default=5)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--rl_lr_initial_decay", type=float, default=0.5)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--log_root", type=str, default="./assets")
+    p.add_argument("--resume_dir", type=str, default="")
+    p.add_argument("--center_bias", type=bool, default=True)
+    p.add_argument("--lambda_1", type=float, default=1.0)
+    p.add_argument("--lambda_5", type=float, default=-2.0)
+    p.add_argument("--apply_consistency_divergence", action="store_true",
+                   help="Actually add the AiR Consistency-Divergence RL "
+                        "term to the loss.  OFF by default: the reference "
+                        "computes the term but drops it (a dangling '+' "
+                        "statement, reference AiR/train.py:332-340), so "
+                        "parity means not applying it.")
+    p.add_argument("--eval_repeat_num", type=int, default=10)
+    p.add_argument("--min_length", type=int, default=1)
+    p.add_argument("--max_length", type=int, default=16)
+    p.add_argument("--ablate_attention_info", type=bool, default=False)
+    p.add_argument("--supervised_save", type=bool, default=True)
+    p.add_argument("--coco_split", type=str, default="split1")
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="torch resnet50 state dict to warm-start the "
+                        "backbone (optional)")
+    p.add_argument("--evaluation_dir", type=str, default="",
+                   help="log dir holding checkpoints/ for test.py")
+    # hardware / runtime (new in this framework)
+    p.add_argument("--mesh_size", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--half_precision", type=bool, default=False)
+    p.add_argument("--cache_images", type=bool, default=True)
+    # config files
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--set_cfgs", dest="set_cfgs", default=[], nargs="+")
+    return p
+
+
+def parse_opt(argv=None) -> argparse.Namespace:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    # yaml / set_cfgs layer (reference opts.py:52-66)
+    cfg: dict = {}
+    if args.cfg is not None:
+        cfg = load_yaml_with_base(args.cfg)
+    if args.set_cfgs:
+        cfg = merge_set_cfgs(cfg, args.set_cfgs)
+    for k, v in cfg.items():
+        if not hasattr(args, k):
+            print(f"Warning: key {k} not in args")
+        setattr(args, k, v)
+    # explicit CLI flags win over yaml (re-parse onto the namespace)
+    args = parser.parse_args(argv, namespace=args)
+
+    # per-task defaults for flags left unset
+    defaults = TASK_DEFAULTS[args.task]
+    if args.seed is None:
+        args.seed = defaults["seed"]
+    if args.weight_decay is None:
+        args.weight_decay = defaults["weight_decay"]
+    if args.img_dir is None:
+        args.img_dir = defaults["img_dir"]
+    if args.fix_dir is None:
+        args.fix_dir = defaults["fix_dir"]
+    return args

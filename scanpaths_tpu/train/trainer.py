@@ -1,0 +1,389 @@
+"""Training driver: two-phase schedule (supervised -> SCST), validation
+with the full host metric suite, checkpoint triad, run records,
+TensorBoard-style scalars.
+
+Mirrors the reference drivers' control flow
+(reference OSIE/train.py:47-364, AiR/train.py:52-486,
+COCO_Search18/train.py) with one codebase and three task plugins, and
+with every hot path jitted on the device mesh:
+
+* artifacts: hparams.json, log_train.txt, history_record.json,
+  checkpoints/{checkpoint.msgpack, checkpoint_best.msgpack},
+  <logdir>_supervised_save copy at epoch start_rl_epoch-1;
+* scalar names match the reference TensorBoard tags;
+* model selection = harmonic mean of ScanMatch metrics (AiR: over
+  right+wrong answer groups — reference AiR/train.py:467-468).
+"""
+
+from __future__ import annotations
+
+import datetime
+import functools
+import json
+import os
+import shutil
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from ..core.grid import GridSpec
+from ..data.datasets import (DataConfig, EvaluationDataset, Loader,
+                             SupervisedDataset)
+from ..metrics import evaluation as heval
+from ..models.scanpath_model import create_model
+from ..ops.sampling import random_sample, to_fix_vectors
+from ..utils.checkpointing import CheckpointManager, restore_pytree
+from ..utils.logger import Logger
+from ..utils.recording import RecordManager
+from . import steps
+from .mesh import batch_sharding, make_mesh, replicated, shard_batch
+from .schedule import lr_multiplier, make_optimizer
+from .steps import RLConfig, TrainState
+
+
+class ScalarWriter:
+    """TensorBoard SummaryWriter when available, JSONL always."""
+
+    def __init__(self, log_dir: str):
+        self.jsonl = open(join(log_dir, "scalars.jsonl"), "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            pass
+
+    def add_scalar(self, tag: str, value, step: int):
+        value = float(value)
+        self.jsonl.write(json.dumps({"tag": tag, "value": value,
+                                     "step": int(step)}) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+
+def data_config(args) -> DataConfig:
+    att_dir = args.att_dir if args.task == "air" else args.detector_dir
+    return DataConfig(
+        img_dir=args.img_dir, fix_dir=args.fix_dir, att_dir=att_dir,
+        action_map=(args.map_height, args.map_width),
+        resize=(args.height, args.width), max_length=args.max_length,
+        blur_sigma=args.blur_sigma,
+        detector_threshold=args.detector_threshold,
+        coco_split=args.coco_split, cache_images=args.cache_images)
+
+
+def grid_spec(args) -> GridSpec:
+    return GridSpec(map_width=args.map_width, map_height=args.map_height,
+                    width=args.width, height=args.height,
+                    max_length=args.max_length, min_length=args.min_length)
+
+
+class Trainer:
+    def __init__(self, args):
+        self.args = args
+        self.task = args.task
+        self.grid = grid_spec(args)
+
+        # ---------------- log dir & artifacts ----------------
+        if args.resume_dir == "":
+            date = str(datetime.datetime.now())
+            date = date[:date.rfind(":")].replace("-", "") \
+                .replace(":", "").replace(" ", "_")
+            self.log_dir = join(args.log_root, "log_" + date)
+        else:
+            self.log_dir = args.resume_dir
+        self.checkpoints_dir = join(self.log_dir, "checkpoints")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.checkpoints_dir, exist_ok=True)
+        if args.resume_dir == "":
+            with open(join(self.log_dir, "hparams.json"), "w") as f:
+                json.dump({k: v for k, v in vars(args).items()}, f, indent=2)
+        self.logger = Logger(join(self.log_dir, "log_train.txt"))
+        self.logger.info("The args corresponding to training process are: ")
+        for key, value in vars(args).items():
+            self.logger.info(f"{key:20}: {value}")
+
+        # ---------------- data ----------------
+        cfg = data_config(args)
+        self.train_loader = Loader(
+            SupervisedDataset(self.task, cfg, split="train"),
+            batch_size=args.batch, shuffle=True, seed=args.seed,
+            drop_last=True)
+        self.train_rl_loader = Loader(
+            EvaluationDataset(self.task, cfg, split="train"),
+            batch_size=max(args.batch // 4, 1), shuffle=True,
+            seed=args.seed + 1, drop_last=True)
+        self.validation_loader = Loader(
+            EvaluationDataset(self.task, cfg, split="validation"),
+            batch_size=args.batch, shuffle=False)
+
+        # ---------------- model / optimizer / mesh ----------------
+        self.model = create_model(
+            self.task, seq_len=args.max_length, map_h=args.map_height,
+            map_w=args.map_width)
+        self.mesh = make_mesh(args.mesh_size)
+        self.optimizer = make_optimizer(args, len(self.train_loader),
+                                        len(self.train_rl_loader))
+        self.lr_fn = functools.partial(
+            lr_multiplier, steps_sup=len(self.train_loader),
+            steps_rl=len(self.train_rl_loader),
+            warmup_epoch=args.warmup_epoch,
+            start_rl_epoch=args.start_rl_epoch, epochs=args.epoch,
+            rl_lr_initial_decay=args.rl_lr_initial_decay)
+
+        self.state = self._init_state()
+        self.rl_cfg = RLConfig(task=self.task, grid=self.grid,
+                               rl_sample_number=args.rl_sample_number,
+                               apply_cd=args.apply_consistency_divergence,
+                               lambda_5=args.lambda_5)
+
+        # jitted steps: state replicated, batch sharded on the data axis
+        rep = replicated(self.mesh)
+        shd = batch_sharding(self.mesh)
+        self._sup_step = jax.jit(
+            functools.partial(steps.supervised_step, self.model,
+                              self.optimizer, lambda_1=args.lambda_1),
+            donate_argnums=(0,))
+        self._rl_step = jax.jit(
+            functools.partial(steps.rl_step, self.model, self.optimizer,
+                              cfg=self.rl_cfg),
+            donate_argnums=(0,))
+        self._eval_forward = jax.jit(
+            lambda params, bs, batch: steps._eval_forward(
+                self.model, params, bs, batch))
+        self._sampler = jax.jit(
+            lambda key, probs, mu, s2, n: jax.vmap(
+                lambda k: random_sample(k, probs, mu, s2, self.grid))(
+                jax.random.split(key, n)),
+            static_argnums=(4,))
+        del rep, shd
+
+        # ---------------- bookkeeping ----------------
+        self.writer = ScalarWriter(self.log_dir)
+        self.record_manager = RecordManager(self.log_dir)
+        if args.resume_dir == "":
+            self.record_manager.init_record()
+        else:
+            self.record_manager.load()
+        self.checkpoint_manager = CheckpointManager(
+            self.checkpoints_dir, mode="max",
+            best_metric=self.record_manager.get_best_metric())
+        if args.resume_dir != "":
+            restored = restore_pytree(
+                join(self.checkpoints_dir, "checkpoint.msgpack"),
+                {"model": {"params": self.state.params,
+                           "batch_stats": self.state.batch_stats},
+                 "optimizer": self.state.opt_state})
+            self.state = self.state.replace(
+                params=restored["model"]["params"],
+                batch_stats=restored["model"]["batch_stats"],
+                opt_state=restored["optimizer"])
+
+        self.key = jax.random.PRNGKey(args.seed)
+
+    # ------------------------------------------------------------------
+    def _init_state(self) -> TrainState:
+        args = self.args
+        n = max(args.batch // 4, 1)
+        dummy = jnp.zeros((n, args.height, args.width, 3), jnp.float32)
+        kw = {}
+        if self.task in ("air", "coco"):
+            kw["attention_maps"] = jnp.zeros(
+                (n, args.map_height, args.map_width, 1), jnp.float32)
+        if self.task == "coco":
+            kw["task_ids"] = jnp.zeros((n,), jnp.int32)
+        variables = jax.jit(
+            lambda k: self.model.init(k, dummy, train=False, **kw)
+        )(jax.random.PRNGKey(args.seed))
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        if args.checkpoint:
+            params, batch_stats = self._load_backbone(params, batch_stats)
+        opt_state = self.optimizer.init(params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state, step=jnp.int32(0))
+
+    def _load_backbone(self, params, batch_stats):
+        """Warm-start the ResNet-50 trunk from a torch state dict."""
+        import torch
+
+        from ..models.resnet import load_torch_state_dict
+        sd = torch.load(self.args.checkpoint, map_location="cpu")
+        bp, bs = load_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")})
+        params = dict(params)
+        batch_stats = dict(batch_stats)
+        params["backbone"] = bp
+        batch_stats["backbone"] = bs
+        self.logger.info("Loaded pretrained backbone from %s",
+                         self.args.checkpoint)
+        return params, batch_stats
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: dict, for_rl: bool) -> dict:
+        keys_sup = ("images", "scanpaths", "durations", "action_masks",
+                    "duration_masks", "attention_maps", "performances",
+                    "tasks")
+        keys_rl = ("images", "gt_fix", "gt_len", "gt_mask",
+                   "attention_maps", "tasks", "gt_performance")
+        keep = keys_rl if for_rl else keys_sup
+        out = {}
+        for k in keep:
+            if k in batch:
+                v = batch[k]
+                if k == "performances" and isinstance(v, np.ndarray):
+                    v = v.astype(np.float32)
+                out[k] = np.asarray(v)
+        if self.args.ablate_attention_info and "attention_maps" in out:
+            out["attention_maps"] = out["attention_maps"] * 0
+        return shard_batch(self.mesh, out)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, iteration: int, epoch: int) -> int:
+        args = self.args
+        if epoch < args.start_rl_epoch:
+            for batch in self.train_loader:
+                db = self._device_batch(batch, for_rl=False)
+                self.state, metrics = self._sup_step(self.state, db)
+                iteration += 1
+                self.writer.add_scalar("loss/loss", metrics["loss"],
+                                       iteration)
+                self.writer.add_scalar("loss/loss_actions",
+                                       metrics["loss_actions"], iteration)
+                self.writer.add_scalar("loss/loss_duration",
+                                       metrics["loss_duration"], iteration)
+                self.writer.add_scalar(
+                    "learning_rate",
+                    args.lr * float(self.lr_fn(iteration)), iteration)
+        else:
+            for batch in self.train_rl_loader:
+                db = self._device_batch(batch, for_rl=True)
+                self.key, sub = jax.random.split(self.key)
+                self.state, metrics = self._rl_step(self.state, db, sub)
+                iteration += 1
+                for tag, val in metrics.items():
+                    self.writer.add_scalar(tag, val, iteration)
+                self.writer.add_scalar(
+                    "learning_rate",
+                    args.lr * float(self.lr_fn(iteration)), iteration)
+        return iteration
+
+    # ------------------------------------------------------------------
+    def decode_batch(self, batch, repeat_num: int, stream: str | None = None):
+        """Eval forward + ``repeat_num`` stochastic decodes; returns a
+        list (repeat-major) of per-image fixation vectors."""
+        db = self._device_batch(batch, for_rl=True)
+        out = self._eval_forward(self.state.params, self.state.batch_stats,
+                                 db)
+        prefix = f"{stream}_" if stream else ""
+        probs = out[f"{prefix}all_actions_prob"]
+        mu = out[f"{prefix}log_normal_mu"]
+        sigma2 = out[f"{prefix}log_normal_sigma2"]
+        self.key, sub = jax.random.split(self.key)
+        samples = self._sampler(sub, probs, mu, sigma2, repeat_num)
+        return to_fix_vectors(samples)  # repeat-major flat list [R*N]
+
+    def validation(self, iteration: int):
+        args = self.args
+        repeat = args.eval_repeat_num
+        all_gt, all_pred = [], []
+        all_perf, all_alloc = [], []
+        for batch in self.validation_loader:
+            n = len(batch["fix_vectors"])
+            if self.task == "air":
+                for stream, flag in (("good", True), ("poor", False)):
+                    preds = self.decode_batch(batch, repeat, stream)
+                    for r in range(repeat):
+                        all_gt.extend(batch["fix_vectors"])
+                        all_perf.extend(batch["performances"])
+                        all_alloc.extend([flag] * n)
+                        all_pred.extend(preds[r * n:(r + 1) * n])
+            else:
+                preds = self.decode_batch(batch, repeat)
+                for r in range(repeat):
+                    all_gt.extend(batch["fix_vectors"])
+                    all_pred.extend(preds[r * n:(r + 1) * n])
+
+        if self.task == "air":
+            cur_metrics, cur_std, _ = heval.evaluation_performance_related(
+                all_gt, all_pred, all_perf, all_alloc)
+        else:
+            cur_metrics, cur_std, _ = heval.evaluation(all_gt, all_pred)
+
+        self.logger.info(f"Evaluation metrics after iteration {iteration}:")
+        self._log_metric_tree(cur_metrics, cur_std, iteration)
+        return cur_metrics
+
+    def _log_metric_tree(self, metrics, stds, iteration):
+        def walk(m, s, prefix):
+            for k, v in m.items():
+                if isinstance(v, dict):
+                    walk(v, s[k], prefix + [k])
+                else:
+                    tag = "metrics/" + "-".join(prefix + [k])
+                    self.writer.add_scalar(tag, v, iteration)
+                    self.logger.info(
+                        f"{'-'.join(prefix):24}-{k:15}: {v:.4f} "
+                        f"+- {s[k]:.4f}")
+        walk(metrics, stds, [])
+
+    def selection_metric(self, cur_metrics) -> float:
+        if self.task == "air":
+            vals = (list(cur_metrics["right_answer"]["ScanMatch"].values())
+                    + list(cur_metrics["wrong_answer"]["ScanMatch"].values()))
+        else:
+            vals = list(cur_metrics["ScanMatch"].values())
+        return float(scipy.stats.hmean(vals))
+
+    # ------------------------------------------------------------------
+    def human_baseline(self):
+        metrics, stds, _ = heval.human_evaluation(self.validation_loader,
+                                                  task=self.task)
+        self.logger.info("The metrics for human performance are: ")
+        self._log_metric_tree_quiet(metrics, stds)
+        return metrics
+
+    def _log_metric_tree_quiet(self, metrics, stds):
+        def walk(m, s, prefix):
+            for k, v in m.items():
+                if isinstance(v, dict):
+                    walk(v, s[k], prefix + [k])
+                else:
+                    self.logger.info(
+                        f"{'-'.join(prefix):24}-{k:15}: {v:.4f} "
+                        f"+- {s[k]:.4f}")
+        walk(metrics, stds, [])
+
+    # ------------------------------------------------------------------
+    def fit(self):
+        args = self.args
+        start_epoch = self.record_manager.get_epoch()
+        iteration = self.record_manager.get_iteration()
+
+        if args.resume_dir == "":
+            self.human_baseline()
+
+        for epoch in range(start_epoch + 1, args.epoch):
+            iteration = self.train_epoch(iteration, epoch)
+            cur_metrics = self.validation(iteration)
+            cur_metric = self.selection_metric(cur_metrics)
+            self.writer.add_scalar("current metric", cur_metric, iteration)
+            self.logger.info(f"{'current metric':10}: {cur_metric:.4f}")
+
+            model_state = {"params": self.state.params,
+                           "batch_stats": self.state.batch_stats}
+            self.checkpoint_manager.step(cur_metric, model_state,
+                                         self.state.opt_state)
+            self.record_manager.save(
+                epoch, iteration, self.checkpoint_manager.get_best_metric())
+
+            if args.supervised_save and epoch == args.start_rl_epoch - 1:
+                dst = self.log_dir.rstrip("/") + "_supervised_save"
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                shutil.copytree(self.log_dir, dst)
+        return self.checkpoint_manager.get_best_metric()

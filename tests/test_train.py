@@ -1,0 +1,177 @@
+"""Training layer: losses, schedule, config layering, supervised + RL
+steps on a tiny geometry."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scanpaths_tpu.core.config import parse_opt
+from scanpaths_tpu.core.grid import GridSpec
+from scanpaths_tpu.models.scanpath_model import create_model
+from scanpaths_tpu.train import losses, steps
+from scanpaths_tpu.train.schedule import lr_multiplier, make_optimizer
+
+MH, MW, T = 10, 12, 4
+H, W = 8 * MH, 8 * MW
+A = MH * MW + 1
+N = 2
+
+
+def test_cross_entropy_matches_manual():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 3, 5)), jnp.float32)
+    gt = jax.nn.softmax(jnp.asarray(rng.normal(size=(2, 3, 5)), jnp.float32))
+    mask = jnp.asarray([[1, 1, 0], [1, 0, 0]], jnp.float32)
+    got = losses.cross_entropy_loss(logits, gt, mask)
+    p = jax.nn.softmax(logits, -1)
+    want = -(np.asarray(gt) * np.log(np.asarray(p) + 1e-7)
+             * np.asarray(mask)[..., None]).sum() / np.asarray(mask).sum()
+    assert float(got) == pytest.approx(float(want), rel=1e-6)
+
+
+def test_log_normal_nll_positive_duration_fit():
+    # NLL should be lower when mu matches log(duration)
+    dur = jnp.full((2, 4), 0.4)
+    mask = jnp.ones((2, 4))
+    good = losses.mlp_log_normal_distribution(
+        jnp.full((2, 4), float(np.log(0.4))), jnp.full((2, 4), 0.05),
+        dur, mask)
+    bad = losses.mlp_log_normal_distribution(
+        jnp.full((2, 4), 3.0), jnp.full((2, 4), 0.05), dur, mask)
+    assert float(good) < float(bad)
+
+
+def test_lr_schedule_reference_shape():
+    # steps_sup=10, warmup 1 epoch, rl starts at epoch 5 of 10, rl steps 4
+    kw = dict(steps_sup=10, steps_rl=4, warmup_epoch=1, start_rl_epoch=5,
+              epochs=10, rl_lr_initial_decay=0.5)
+    assert float(lr_multiplier(0, **kw)) == 0.0
+    assert float(lr_multiplier(10, **kw)) == 1.0
+    assert float(lr_multiplier(30, **kw)) == pytest.approx(0.5)
+    assert float(lr_multiplier(50, **kw)) == pytest.approx(0.5)
+    # halfway through rl: 0.5 * (1 - 10/20)
+    assert float(lr_multiplier(60, **kw)) == pytest.approx(0.25)
+
+
+def test_config_layering(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("batch: 8\nlr: 0.01\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"_BASE_: {base}\nlr: 0.02\n")
+    args = parse_opt(["--task", "osie", "--cfg", str(child),
+                      "--set_cfgs", "epoch", "3", "--lr", "0.5"])
+    assert args.batch == 8          # from base yaml
+    assert args.epoch == 3          # from set_cfgs
+    assert args.lr == 0.5           # CLI wins over yaml
+    assert args.seed == 10          # osie task default
+    args2 = parse_opt(["--task", "air"])
+    assert args2.seed == 0 and args2.weight_decay == 5e-5
+
+
+def _tiny_setup(task):
+    import types
+    model = create_model(task, seq_len=T, map_h=MH, map_w=MW)
+    args = types.SimpleNamespace(lr=1e-3, clip=12.5, weight_decay=1e-4,
+                                 warmup_epoch=1, start_rl_epoch=5, epoch=10,
+                                 rl_lr_initial_decay=0.5)
+    optimizer = make_optimizer(args, steps_sup=4, steps_rl=4)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(N, H, W, 3)), jnp.float32)
+    kw = {}
+    if task in ("air", "coco"):
+        kw["attention_maps"] = jnp.ones((N, MH, MW, 1), jnp.float32)
+    if task == "coco":
+        kw["task_ids"] = jnp.zeros((N,), jnp.int32)
+    variables = jax.jit(lambda k: model.init(k, images, train=False, **kw))(
+        jax.random.PRNGKey(0))
+    state = steps.TrainState(params=variables["params"],
+                             batch_stats=variables["batch_stats"],
+                             opt_state=optimizer.init(variables["params"]),
+                             step=jnp.int32(0))
+    return model, optimizer, state, images, kw, rng
+
+
+def test_supervised_step_learns():
+    model, optimizer, state, images, kw, rng = _tiny_setup("osie")
+    scan = np.zeros((N, T, A), np.float32)
+    scan[:, :, 5] = 1.0
+    batch = {
+        "images": images,
+        "scanpaths": jnp.asarray(scan),
+        "durations": jnp.full((N, T), 0.3, jnp.float32),
+        "action_masks": jnp.ones((N, T), jnp.float32),
+        "duration_masks": jnp.ones((N, T), jnp.float32),
+    }
+    step = jax.jit(lambda s, b: steps.supervised_step(model, optimizer, s, b,
+                                                      lambda_1=1.0))
+    state1, m1 = step(state, batch)
+    losses_seq = [float(m1["loss"])]
+    st = state1
+    for _ in range(4):
+        st, m = step(st, batch)
+        losses_seq.append(float(m["loss"]))
+    assert losses_seq[-1] < losses_seq[0]
+    assert int(st.step) == 5
+
+
+@pytest.mark.parametrize("task", ["osie", "coco"])
+def test_rl_step_runs(task):
+    model, optimizer, state, images, kw, rng = _tiny_setup(task)
+    grid = GridSpec(map_width=MW, map_height=MH, width=W, height=H,
+                    max_length=T, min_length=1)
+    cfg = steps.RLConfig(task=task, grid=grid, rl_sample_number=2,
+                         max_symbols_wd=32)
+    smax, glen = 3, 6
+    gt_fix = np.zeros((N, smax, glen, 3), np.float32)
+    gt_fix[..., 0] = rng.uniform(0, W, (N, smax, glen))
+    gt_fix[..., 1] = rng.uniform(0, H, (N, smax, glen))
+    gt_fix[..., 2] = rng.uniform(0.1, 0.5, (N, smax, glen))
+    batch = {
+        "images": images,
+        "gt_fix": jnp.asarray(gt_fix),
+        "gt_len": jnp.full((N, smax), glen, jnp.int32),
+        "gt_mask": jnp.ones((N, smax), jnp.float32),
+    }
+    batch.update({k: v for k, v in kw.items()})
+    if task == "coco":
+        batch["tasks"] = kw["task_ids"]
+    rl = jax.jit(lambda s, b, k: steps.rl_step(model, optimizer, s, b, k,
+                                               cfg))
+    state1, metrics = rl(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["rl_loss"]))
+    assert 0.0 <= float(metrics["reward_hmean"]) <= 1.0
+    # params actually changed
+    before = jax.tree_util.tree_leaves(state.params)[0]
+    after = jax.tree_util.tree_leaves(state1.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_rl_step_air():
+    model, optimizer, state, images, kw, rng = _tiny_setup("air")
+    grid = GridSpec(map_width=MW, map_height=MH, width=W, height=H,
+                    max_length=T, min_length=1)
+    cfg = steps.RLConfig(task="air", grid=grid, rl_sample_number=2,
+                         max_symbols_wd=32)
+    smax, glen = 4, 6
+    gt_fix = np.zeros((N, smax, glen, 3), np.float32)
+    gt_fix[..., 0] = rng.uniform(0, W, (N, smax, glen))
+    gt_fix[..., 1] = rng.uniform(0, H, (N, smax, glen))
+    gt_fix[..., 2] = rng.uniform(0.1, 0.5, (N, smax, glen))
+    batch = {
+        "images": images,
+        "attention_maps": kw["attention_maps"],
+        "gt_fix": jnp.asarray(gt_fix),
+        "gt_len": jnp.full((N, smax), glen, jnp.int32),
+        "gt_mask": jnp.ones((N, smax), jnp.float32),
+        "gt_performance": jnp.asarray([[1, 0, 1, 0], [0, 0, 1, 1]],
+                                      jnp.float32),
+    }
+    rl = jax.jit(lambda s, b, k: steps.rl_step(model, optimizer, s, b, k,
+                                               cfg))
+    state1, metrics = rl(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["rl_loss"]))
+    assert np.isfinite(float(metrics["reward_same_hmean"]))
