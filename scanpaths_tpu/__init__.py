@@ -10,11 +10,11 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
   core/     grid geometry, fixation structs, layered config
   data/     JSON fixation datasets -> packed device arrays
   models/   dilated ResNet-50 + ConvLSTM decoder as one lax.scan program
-  ops/      device sampler, Pallas kernels
+  ops/      device sampler (batched stochastic decode)
   metrics/  ScanMatch / MultiMatch / SED / STDE — host oracles + batched JAX
+            kernels + the evaluation sweeps and artifact dumpers
   train/    supervised + SCST steps (reward in-graph), pjit data parallel
-  eval/     human baseline + full metric sweeps, artifact dumpers
-  utils/    checkpointing (orbax), run records, logging
+  utils/    checkpoint triad (msgpack), run records, logging
   cli/      train/test entry points mirroring the reference flags
 """
 

@@ -23,6 +23,20 @@ import yaml
 BASE_KEY = "_BASE_"
 
 
+def str2bool(v) -> bool:
+    """Tolerant boolean CLI values: the reference's ``type=bool`` flags
+    treat any non-empty string (including 'False') as True; the flags
+    NEW to this framework use this converter instead so '--flag False'
+    does what it says."""
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if str(v).lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 def load_yaml_with_base(path: str) -> dict:
     """Load a yaml file, recursively merging a ``_BASE_`` parent
     (reference utils/config.py:33-77)."""
@@ -109,8 +123,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_repeat_num", type=int, default=10)
     p.add_argument("--min_length", type=int, default=1)
     p.add_argument("--max_length", type=int, default=16)
-    p.add_argument("--ablate_attention_info", type=bool, default=False)
-    p.add_argument("--supervised_save", type=bool, default=True)
+    p.add_argument("--ablate_attention_info", type=str2bool, default=False)
+    p.add_argument("--supervised_save", type=str2bool, default=True)
     p.add_argument("--coco_split", type=str, default="split1")
     p.add_argument("--checkpoint", type=str, default="",
                    help="torch resnet50 state dict to warm-start the "
@@ -120,8 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
     # hardware / runtime (new in this framework)
     p.add_argument("--mesh_size", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
-    p.add_argument("--half_precision", type=bool, default=False)
-    p.add_argument("--cache_images", type=bool, default=True)
+    p.add_argument("--half_precision", type=str2bool, default=False,
+                   help="bf16 compute dtype for the model (params stay "
+                        "f32); the TPU MXU path")
+    p.add_argument("--cache_images", type=str2bool, default=True)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="if set, capture a jax.profiler trace of a few "
+                        "training steps into this directory")
     # config files
     p.add_argument("--cfg", type=str, default=None)
     p.add_argument("--set_cfgs", dest="set_cfgs", default=[], nargs="+")

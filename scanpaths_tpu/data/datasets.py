@@ -62,8 +62,13 @@ class DataConfig:
     blur_sigma: float | None = None
     detector_threshold: float = 0.8     # COCO (reference COCO opts.py:15)
     coco_split: str = "split1"
-    max_subjects: int = 16              # padded subject axis for device GT
-    gt_max_length: int = 24             # padded fixation axis for device GT
+    # Floors for the device-GT pad sizes.  The ACTUAL pad sizes are
+    # derived from the loaded split at EvaluationDataset construction
+    # (max group size / max GT scanpath length), so no ground truth is
+    # ever silently truncated away from the in-graph RL reward — the
+    # reference reward sees full GT (reference OSIE/train.py:234).
+    max_subjects: int = 1               # floor for the subject axis
+    gt_max_length: int = 1              # floor for the fixation axis
     cache_images: bool = True
 
 
@@ -342,6 +347,25 @@ class EvaluationDataset:
             self.groups.setdefault(self.task.group_key(rec), []).append(i)
         self.keys = list(self.groups.keys())
 
+        # Derive the device-GT pad sizes from the split (never silently
+        # truncate ground truth fed to the in-graph reward): subject
+        # axis = largest group, fixation axis = longest GT scanpath.
+        # Also record the ScanMatch-with-duration symbol expansion the
+        # split needs (sum of round(dur_ms / 50) per scanpath) so the
+        # trainer can size the static NW tables to fit the data.
+        self.pad_subjects = max(
+            cfg.max_subjects,
+            max((len(g) for g in self.groups.values()), default=1))
+        max_len, wd_need = 1, 1
+        for rec in self.records:
+            x, _, dur = self.task.xyd_ms(rec)
+            length = int(rec.get("length", len(x)))
+            max_len = max(max_len, length)
+            reps = np.round(np.floor(np.maximum(dur[:length], 0.0)) / 50.0)
+            wd_need = max(wd_need, int(reps.sum()))
+        self.pad_gt_len = max(cfg.gt_max_length, max_len)
+        self.wd_symbols_needed = wd_need
+
     def __len__(self):
         return len(self.keys)
 
@@ -366,7 +390,7 @@ class EvaluationDataset:
                     and rec["subject_answer"] != "faild")
 
         gt_fix, gt_len, gt_mask = pad_fix_vectors(
-            fix_vectors, self.cfg.gt_max_length, self.cfg.max_subjects)
+            fix_vectors, self.pad_gt_len, self.pad_subjects)
         out = {
             "image": self._images.load(self.task.image_path(rec0),
                                        self.cfg.resize),
@@ -377,7 +401,7 @@ class EvaluationDataset:
         out.update(self.task.extras(rec0))
         if self.task.name == "air":
             out["performances"] = performances
-            perf_pad = np.zeros(self.cfg.max_subjects, np.float32)
+            perf_pad = np.zeros(self.pad_subjects, np.float32)
             perf_pad[:len(performances)] = np.asarray(performances, np.float32)
             out["gt_performance"] = perf_pad
         return out

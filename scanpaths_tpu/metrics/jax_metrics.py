@@ -102,6 +102,21 @@ def quantize(spec: ScanMatchSpec, fix: jnp.ndarray, length: jnp.ndarray):
     return sym, total
 
 
+def expansion_overflow(spec: ScanMatchSpec, fix: jnp.ndarray,
+                       length: jnp.ndarray) -> jnp.ndarray:
+    """True where a scanpath's TempBin symbol expansion exceeds the
+    static ``max_symbols`` bound (i.e. `quantize` would prefix-truncate
+    it and the in-graph score would diverge from the host oracle).
+    Surfaced as a trainer metric so truncation is never silent."""
+    if spec.temp_bin == 0:
+        return length > spec.max_symbols
+    L = fix.shape[-2]
+    valid = jnp.arange(L) < length[..., None]
+    dur_ms = jnp.floor(jnp.maximum(fix[..., 2] * 1000.0, 0.0))
+    reps = jnp.where(valid, jnp.round(dur_ms / spec.temp_bin), 0)
+    return jnp.sum(reps, axis=-1) > spec.max_symbols
+
+
 def nw_scores(sub: jnp.ndarray,
               seq_a: jnp.ndarray, len_a: jnp.ndarray,
               seq_b: jnp.ndarray, len_b: jnp.ndarray) -> jnp.ndarray:
@@ -243,6 +258,138 @@ def stde_scores(fix_h: jnp.ndarray, len_h: jnp.ndarray,
                          jnp.nan)
 
     return jax.vmap(one)(ph, len_h, ps, len_s)
+
+
+# ---------------------------------------------------------------------------
+# MultiMatch (Jarodzka alignment) — device kernel
+# ---------------------------------------------------------------------------
+
+def _mm_align_table(m: jnp.ndarray) -> jnp.ndarray:
+    """Min-cost monotone-path DP over a padded lattice.
+
+    D[i, j] = M[i, j] + min(D[i-1, j], D[i-1, j-1], D[i, j-1]), D[0, 0]=0
+    (the start node's cost is excluded — host `_align` semantics, which
+    in turn mirror multimatch_gaze's Dijkstra with edge weight = cost of
+    the target node).  The in-row dependency is removed with a min-plus
+    prefix scan: D[i, j] = P[j] + cummin_k(U[k] - P[k-1]) where
+    P = cumsum(M[i, :]) and U[k] = min(D[i-1, k], D[i-1, k-1]).
+    Returns the full [A, B] table.
+    """
+    big = jnp.float32(3.4e38)
+
+    row0 = jnp.cumsum(m[0]) - m[0][0]
+
+    def row(prev, m_row):
+        p = jnp.cumsum(m_row)
+        p_shift = jnp.concatenate([jnp.zeros((1,), p.dtype), p[:-1]])
+        diag = jnp.concatenate([jnp.full((1,), big, prev.dtype), prev[:-1]])
+        u = jnp.minimum(prev, diag)
+        cur = p + jax.lax.cummin(u - p_shift)
+        return cur, cur
+
+    _, rows = jax.lax.scan(row, row0, m[1:])
+    return jnp.concatenate([row0[None], rows], axis=0)
+
+
+def _mm_traceback(table, m, na, nb, max_path: int):
+    """Walk the DP table back from (na-1, nb-1) to (0, 0), preferring
+    diagonal, then up, then left on ties (the host `_align` tie order).
+    Returns (cells [max_path, 2] int32, valid [max_path] bool) — cells
+    are emitted end-first and include both endpoints."""
+    big = jnp.float32(3.4e38)
+
+    def body(k, carry):
+        i, j, done, cells, valid = carry
+        cells = cells.at[k, 0].set(i)
+        cells = cells.at[k, 1].set(j)
+        valid = valid.at[k].set(~done)
+        d_diag = jnp.where((i > 0) & (j > 0), table[i - 1, j - 1], big)
+        d_up = jnp.where(i > 0, table[i - 1, j], big)
+        d_left = jnp.where(j > 0, table[i, j - 1], big)
+        best = jnp.minimum(d_diag, jnp.minimum(d_up, d_left))
+        take_diag = d_diag <= best
+        take_up = (~take_diag) & (d_up <= best)
+        ni = jnp.where(take_diag | take_up, i - 1, i)
+        nj = jnp.where(take_diag | (~take_up), j - 1, j)
+        now_done = done | ((i == 0) & (j == 0))
+        i = jnp.where(now_done, i, ni)
+        j = jnp.where(now_done, j, nj)
+        return i, j, now_done, cells, valid
+
+    cells0 = jnp.zeros((max_path, 2), jnp.int32)
+    valid0 = jnp.zeros((max_path,), bool)
+    _, _, _, cells, valid = jax.lax.fori_loop(
+        0, max_path, body, (na - 1, nb - 1, False, cells0, valid0))
+    return cells, valid
+
+
+def _masked_median(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """numpy-median semantics over the masked entries (nan propagates)."""
+    big = jnp.float32(3.4e38)
+    has_nan = jnp.any(valid & jnp.isnan(vals))
+    v = jnp.sort(jnp.where(valid & ~jnp.isnan(vals), vals, big))
+    cnt = valid.sum()
+    lo = jnp.maximum((cnt - 1) // 2, 0)
+    hi = jnp.maximum(cnt // 2, 0)
+    med = 0.5 * (v[lo] + v[hi])
+    return jnp.where(has_nan | (cnt == 0), jnp.nan, med)
+
+
+def multimatch_scores(fix_a: jnp.ndarray, len_a: jnp.ndarray,
+                      fix_b: jnp.ndarray, len_b: jnp.ndarray,
+                      xres: int = 320, yres: int = 240) -> jnp.ndarray:
+    """Batched MultiMatch (vector, direction, length, position, duration)
+    similarities; [B, 5].  nan rows where either scanpath has < 3
+    fixations — exactly the host `metrics.multimatch.docomparison`
+    contract (itself the behavioural contract of multimatch_gaze as used
+    at reference OSIE/utils/evaluation.py:38)."""
+    la_max = fix_a.shape[-2]
+    lb_max = fix_b.shape[-2]
+    amax, bmax = la_max - 1, lb_max - 1
+    max_path = amax + bmax
+    diag = jnp.float32(jnp.hypot(float(xres), float(yres)))
+
+    def one(a, la, b, lb):
+        ax, ay, adur = a[:-1, 0], a[:-1, 1], a[:-1, 2]
+        bx, by, bdur = b[:-1, 0], b[:-1, 1], b[:-1, 2]
+        adx, ady = a[1:, 0] - a[:-1, 0], a[1:, 1] - a[:-1, 1]
+        bdx, bdy = b[1:, 0] - b[:-1, 0], b[1:, 1] - b[:-1, 1]
+        atheta = jnp.arctan2(ady, adx)
+        btheta = jnp.arctan2(bdy, bdx)
+        arho = jnp.hypot(adx, ady)
+        brho = jnp.hypot(bdx, bdy)
+
+        m = jnp.hypot(adx[:, None] - bdx[None, :],
+                      ady[:, None] - bdy[None, :])         # [amax, bmax]
+        na = jnp.clip(la - 1, 1, amax)
+        nb = jnp.clip(lb - 1, 1, bmax)
+        table = _mm_align_table(m)
+        cells, valid = _mm_traceback(table, m, na, nb, max_path)
+        ci, cj = cells[:, 0], cells[:, 1]
+
+        vec = m[ci, cj]
+        two_pi = 2 * jnp.pi
+        ta = jnp.mod(atheta[ci] + two_pi, two_pi)
+        tb = jnp.mod(btheta[cj] + two_pi, two_pi)
+        dth = jnp.abs(ta - tb)
+        ang = jnp.where(dth > jnp.pi, two_pi - dth, dth)
+        ln = jnp.abs(arho[ci] - brho[cj])
+        pos = jnp.hypot(ax[ci] - bx[cj], ay[ci] - by[cj])
+        denom = jnp.maximum(adur[ci], bdur[cj])
+        dur = jnp.where(denom > 0,
+                        jnp.abs(adur[ci] - bdur[cj]) / denom, jnp.nan)
+
+        sims = jnp.stack([
+            1.0 - _masked_median(vec, valid) / (2 * diag),
+            1.0 - _masked_median(ang, valid) / jnp.pi,
+            1.0 - _masked_median(ln, valid) / diag,
+            1.0 - _masked_median(pos, valid) / diag,
+            1.0 - _masked_median(dur, valid),
+        ])
+        ok = (la >= 3) & (lb >= 3)
+        return jnp.where(ok, sims, jnp.nan)
+
+    return jax.vmap(one)(fix_a, len_a, fix_b, len_b)
 
 
 # ---------------------------------------------------------------------------

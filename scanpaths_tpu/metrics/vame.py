@@ -103,3 +103,73 @@ def scaled_time_delay_embedding_similarity(human_scanpath, simulated_scanpath,
         return None
     sims = [np.exp(-_tde_distance(hum, sim, k)) for k in range(1, max_k + 1)]
     return float(np.mean(sims))
+
+
+# ---------------------------------------------------------------------------
+# Saliency-map metrics (reference visual_attention_metrics.py:41-191).
+# Unused by the training/eval pipeline (the reference imports but never
+# calls them); kept so the metric surface matches the reference.
+# ---------------------------------------------------------------------------
+
+def auc_judd(saliency_map, fixation_map, jitter: bool = True,
+             rng: np.random.Generator | None = None) -> float:
+    """AUC-Judd: ROC area sweeping thresholds over the saliency values at
+    fixated locations (reference visual_attention_metrics.py:41-133).
+
+    ``fixation_map`` is a binary matrix of the same shape; returns nan
+    when it has no fixations.  ``rng`` seeds the tie-breaking jitter
+    (the reference uses the global numpy RNG).
+    """
+    s = np.asarray(saliency_map, dtype=np.float64)
+    f = np.asarray(fixation_map)
+    if not f.any():
+        return float("nan")
+    assert s.shape == f.shape, "resize the saliency map to the fixation map"
+    if jitter:
+        rng = rng or np.random.default_rng()
+        s = s + rng.random(s.shape) / 1e7
+    s = (s - s.min()) / (s.max() - s.min())
+    if np.isnan(s).all():
+        return float("nan")
+
+    sv = s.ravel()
+    fv = f.ravel()
+    sth = np.sort(sv[fv > 0])[::-1]        # thresholds, descending
+    n_fix = len(sth)
+    n_pix = len(sv)
+    # vectorized sweep: #(values >= thresh) per threshold
+    above = n_pix - np.searchsorted(np.sort(sv), sth, side="left")
+    tp = np.concatenate([[0.0], (np.arange(n_fix) + 1) / n_fix, [1.0]])
+    fp = np.concatenate([[0.0], (above - np.arange(n_fix))
+                         / (n_pix - n_fix), [1.0]])
+    return float(np.trapezoid(tp, x=fp))
+
+
+def kl_div(saliency_map, fixation_map) -> float:
+    """KL divergence between the maps as distributions (reference
+    visual_attention_metrics.py:136-163)."""
+    a = np.asarray(saliency_map, dtype=np.float64)
+    b = np.asarray(fixation_map, dtype=np.float64)
+    assert a.shape == b.shape, "resize the saliency map to the fixation map"
+    if a.any():
+        a = a / a.sum()
+    if b.any():
+        b = b / b.sum()
+    eps = 1e-12
+    return float((b * np.log(eps + b / (a + eps))).sum())
+
+
+def nss(saliency_map, fixation_map) -> float:
+    """Normalized scanpath saliency: mean z-scored saliency at fixated
+    locations (reference visual_attention_metrics.py:166-191; note the
+    reference z-scores with ddof=1)."""
+    s = np.asarray(saliency_map, dtype=np.float64)
+    f = np.asarray(fixation_map)
+    if not f.any():
+        return float("nan")
+    assert s.shape == f.shape, "resize the saliency map to the fixation map"
+    if s.max() != 0:
+        s = s / s.max()
+    if s.std(ddof=1) != 0:
+        s = (s - s.mean()) / s.std(ddof=1)
+    return float(s[f.astype(bool)].mean())

@@ -25,7 +25,7 @@ zero (reference baseline_attention.py:50-57).
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -76,11 +76,12 @@ class FusedConvLSTMCell(nn.Module):
 
     embed: int = 512
     num_signals: int = 1  # 1 = OSIE/COCO, 2 = AiR pos+neg
+    dtype: Any = jnp.float32
 
     def _conv(self, feats, groups, name):
         return nn.Conv(feats, (3, 3), padding=[(1, 1), (1, 1)],
                        kernel_init=grouped_xavier_conv_init(groups),
-                       name=name)
+                       dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, xg, h, c, signals: Sequence[jnp.ndarray]):
@@ -106,12 +107,13 @@ class XGates(nn.Module):
     """The hoisted x-dependent ConvLSTM gate pre-activations."""
 
     embed: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, visual):
         return nn.Conv(4 * self.embed, (3, 3), padding=[(1, 1), (1, 1)],
                        kernel_init=grouped_xavier_conv_init(4),
-                       name="gates_x")(visual)
+                       dtype=self.dtype, name="gates_x")(visual)
 
 
 class SemanticAttention(nn.Module):
@@ -123,11 +125,14 @@ class SemanticAttention(nn.Module):
     """
 
     embed: int = 512
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.lists = nn.Dense(self.embed, kernel_init=dense_init)
-        self.cur = nn.Dense(self.embed, kernel_init=dense_init)
-        self.att = nn.Dense(1, kernel_init=dense_init)
+        self.lists = nn.Dense(self.embed, kernel_init=dense_init,
+                              dtype=self.dtype)
+        self.cur = nn.Dense(self.embed, kernel_init=dense_init,
+                            dtype=self.dtype)
+        self.att = nn.Dense(1, kernel_init=dense_init, dtype=self.dtype)
 
     def project(self, feat):
         return self.lists(feat)
@@ -152,13 +157,16 @@ class SpatialAttention(nn.Module):
 
     map_h: int = 30
     map_w: int = 40
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.lists_conv = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                                  kernel_init=xavier_conv_init)
+                                  kernel_init=xavier_conv_init,
+                                  dtype=self.dtype)
         self.cur_conv = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                                kernel_init=xavier_conv_init)
-        self.att = nn.Dense(1, kernel_init=dense_init)
+                                kernel_init=xavier_conv_init,
+                                dtype=self.dtype)
+        self.att = nn.Dense(1, kernel_init=dense_init, dtype=self.dtype)
 
     def project(self, feat_flat):
         """[N, HW] -> 3x3-conv'd [N, HW]."""
@@ -188,25 +196,33 @@ class PredictHead(nn.Module):
 
     map_h: int = 30
     map_w: int = 40
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat):
         n = feat.shape[0]
         stop_map = nn.Conv(1, (1, 1), kernel_init=xavier_conv_init,
-                           name="sal_layer_2")(feat)
-        stop_logit = jnp.mean(stop_map.reshape(n, -1), axis=-1,
-                              keepdims=True)  # global avg pool
+                           dtype=self.dtype, name="sal_layer_2")(feat)
+        stop_logit = jnp.mean(
+            stop_map.reshape(n, -1).astype(jnp.float32), axis=-1,
+            keepdims=True)  # global avg pool
         t = nn.Conv(1, (7, 7), strides=(5, 5), padding=[(2, 2), (2, 2)],
-                    kernel_init=xavier_conv_init, name="drt_layer_1")(feat)
+                    kernel_init=xavier_conv_init, dtype=self.dtype,
+                    name="drt_layer_1")(feat)
         t = nn.relu(t)
         t = nn.Conv(2, (self.map_h // 5, self.map_w // 5), padding="VALID",
-                    kernel_init=xavier_conv_init, name="drt_layer_2")(t)
-        t = t.reshape(n, 2)
+                    kernel_init=xavier_conv_init, dtype=self.dtype,
+                    name="drt_layer_2")(t)
+        # duration params and logits leave the mixed-precision region in
+        # f32: exp() range and the categorical sampling need it
+        t = t.reshape(n, 2).astype(jnp.float32)
         mu = t[:, 0]
         sigma2 = jnp.exp(t[:, 1])
         amap = nn.relu(nn.Conv(1, (1, 1), kernel_init=xavier_conv_init,
+                               dtype=self.dtype,
                                name="sal_layer_3")(feat))[..., 0]  # [N,H,W]
-        z = jnp.concatenate([stop_logit, amap.reshape(n, -1)], axis=-1)
+        z = jnp.concatenate(
+            [stop_logit, amap.reshape(n, -1).astype(jnp.float32)], axis=-1)
         return z, mu, sigma2, amap
 
 
@@ -228,20 +244,21 @@ class Conditioner(nn.Module):
     mode: str = "single"
     embed: int = 512
     num_heads: int = 18
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, task_ids=None):
         e = self.embed
         if self.mode == "single":
             return (nn.Conv(e, (5, 5), padding=[(2, 2), (2, 2)],
-                            kernel_init=xavier_conv_init,
+                            kernel_init=xavier_conv_init, dtype=self.dtype,
                             name="sal_layer")(h),)
         if self.mode == "dual":
             good = nn.Conv(e, (5, 5), padding=[(2, 2), (2, 2)],
-                           kernel_init=xavier_conv_init,
+                           kernel_init=xavier_conv_init, dtype=self.dtype,
                            name="sal_layer_true")(h)
             poor = nn.Conv(e, (5, 5), padding=[(2, 2), (2, 2)],
-                           kernel_init=xavier_conv_init,
+                           kernel_init=xavier_conv_init, dtype=self.dtype,
                            name="sal_layer_false")(h)
             return good, poor
         # bank
@@ -253,8 +270,9 @@ class Conditioner(nn.Module):
             (self.num_heads, 5, 5, e, e))
         bias = self.param("bank_bias", nn.initializers.zeros,
                           (self.num_heads, e))
-        k_sel = kernel[task_ids]          # [N, 5, 5, C, C]
-        b_sel = bias[task_ids]            # [N, C]
+        k_sel = kernel[task_ids].astype(self.dtype)   # [N, 5, 5, C, C]
+        b_sel = bias[task_ids].astype(self.dtype)     # [N, C]
+        h = h.astype(self.dtype)
 
         def one(hi, ki, bi):
             out = jax.lax.conv_general_dilated(

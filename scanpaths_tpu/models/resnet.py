@@ -44,16 +44,17 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     has_downsample: bool = False
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = lambda f, k, s, d, name: nn.Conv(  # noqa: E731
             f, (k, k), strides=(s, s), padding=[(d * (k - 1) // 2,) * 2] * 2,
-            kernel_dilation=(d, d), use_bias=False,
+            kernel_dilation=(d, d), use_bias=False, dtype=self.dtype,
             kernel_init=he_conv_init, name=name)
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name=name)
+            dtype=self.dtype, name=name)
 
         residual = x
         # stride on conv1 (Caffe-style, reference resnet.py:63)
@@ -88,13 +89,15 @@ class DilatedResNet50(nn.Module):
     [N, 30, 40, 2048]."""
 
     layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=he_conv_init, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=he_conv_init, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = _ceil_maxpool(x)
 
@@ -109,6 +112,7 @@ class DilatedResNet50(nn.Module):
                     stride=stride if bi == 0 else 1,
                     dilation=dilation,
                     has_downsample=(bi == 0),
+                    dtype=self.dtype,
                     name=f"layer{si}_block{bi}",
                 )(x, train=train)
         return x

@@ -55,26 +55,33 @@ class ScanpathModel(nn.Module):
     map_h: int = 30
     map_w: int = 40
     num_categories: int = 18  # coco head bank size
+    dtype: Any = jnp.float32  # compute dtype (params stay f32)
 
     @property
     def hw(self) -> int:
         return self.map_h * self.map_w
 
     def setup(self):
-        self.backbone = DilatedResNet50()
+        self.backbone = DilatedResNet50(dtype=self.dtype)
         self.sal_conv = nn.Conv(self.embed, (3, 3), padding=[(1, 1), (1, 1)],
-                                kernel_init=xavier_conv_init)
-        self.xgates = XGates(self.embed)
+                                kernel_init=xavier_conv_init,
+                                dtype=self.dtype)
+        self.xgates = XGates(self.embed, dtype=self.dtype)
         self.lstm = FusedConvLSTMCell(
-            self.embed, num_signals=2 if self.task == "air" else 1)
-        self.semantic_embed = nn.Dense(self.embed, kernel_init=dense_init)
-        self.spatial_embed = nn.Dense(self.hw, kernel_init=dense_init)
-        self.semantic_att = SemanticAttention(self.embed)
-        self.spatial_att = SpatialAttention(self.map_h, self.map_w)
+            self.embed, num_signals=2 if self.task == "air" else 1,
+            dtype=self.dtype)
+        self.semantic_embed = nn.Dense(self.embed, kernel_init=dense_init,
+                                       dtype=self.dtype)
+        self.spatial_embed = nn.Dense(self.hw, kernel_init=dense_init,
+                                      dtype=self.dtype)
+        self.semantic_att = SemanticAttention(self.embed, dtype=self.dtype)
+        self.spatial_att = SpatialAttention(self.map_h, self.map_w,
+                                            dtype=self.dtype)
         mode = {"osie": "single", "air": "dual", "coco": "bank"}[self.task]
         self.conditioner = Conditioner(mode=mode, embed=self.embed,
-                                       num_heads=self.num_categories)
-        self.head = PredictHead(self.map_h, self.map_w)
+                                       num_heads=self.num_categories,
+                                       dtype=self.dtype)
+        self.head = PredictHead(self.map_h, self.map_w, dtype=self.dtype)
 
     # -- feature extraction -------------------------------------------------
 
@@ -164,9 +171,9 @@ class ScanpathModel(nn.Module):
         visual = nn.relu(self.sal_conv(x))                  # [N, H, W, C]
 
         if attention_maps is None:
-            amap0 = jnp.zeros((n, self.map_h, self.map_w))
+            amap0 = jnp.zeros((n, self.map_h, self.map_w), self.dtype)
         else:
-            amap0 = attention_maps[..., 0]
+            amap0 = attention_maps[..., 0].astype(self.dtype)
 
         n_streams = 2 if self.task == "air" else 1
         entry0 = self._new_stream_entry(amap0, visual)
@@ -190,12 +197,13 @@ class ScanpathModel(nn.Module):
         _, ys = scan(self, carry, None)
 
         def stack(seq_outs):
-            # ys leaves are [T, N, ...] -> [N, T, ...]
+            # ys leaves are [T, N, ...] -> [N, T, ...]; everything leaves
+            # the model in f32 (z/mu/sigma2 already are, amap may be bf16)
             z = jnp.swapaxes(seq_outs["z"], 0, 1)           # [N, T, A]
             mu = jnp.swapaxes(seq_outs["mu"], 0, 1)         # [N, T]
             sigma2 = jnp.swapaxes(seq_outs["sigma2"], 0, 1)
             amap = jnp.swapaxes(seq_outs["amap"], 0, 1)     # [N, T, H, W]
-            return z, mu, sigma2, amap
+            return z, mu, sigma2, amap.astype(jnp.float32)
 
         if self.task != "air":
             z, mu, sigma2, amap = stack(ys)

@@ -93,3 +93,97 @@ def kld(saliency, salmap):
     a = a / (a.sum(-1, keepdims=True) + EPSILON)
     b = b / (b.sum(-1, keepdims=True) + EPSILON)
     return (b * jnp.log(b / (a + EPSILON) + EPSILON)).sum(-1).mean()
+
+
+# -- AiR paper-ablation extras (reference AiR/models/loss.py:75-171;
+#    imported by AiR/train.py:21-23 but never called — kept so ablation
+#    studies against the reference remain reproducible).  The reference
+#    versions use data-dependent boolean indexing / Python loops; these
+#    are masked fixed-shape equivalents. ----------------------------------
+
+def _per_sample_cc(a, b):
+    a = a.reshape(a.shape[0], -1)
+    b = b.reshape(b.shape[0], -1)
+    a = a / (a.sum(-1, keepdims=True) + EPSILON)
+    b = b / (b.sum(-1, keepdims=True) + EPSILON)
+    a = a - a.mean(-1, keepdims=True)
+    b = b - b.mean(-1, keepdims=True)
+    cov = (a * b).sum(-1)
+    return cov / (jnp.sqrt((a ** 2).sum(-1)) * jnp.sqrt((b ** 2).sum(-1))
+                  + EPSILON)
+
+
+def cc_terms(saliency, salmap, good_duration_masks, poor_duration_masks):
+    """Per-sample CC restricted to samples where BOTH the good and poor
+    streams produced fixations (reference ``CC_terms``,
+    AiR/models/loss.py:75-103).  Returns (cc [N], paired_mask [N]) —
+    the reference returns a ragged filtered vector; here the mask says
+    which entries are real."""
+    paired = ((good_duration_masks.sum(-1) > 0)
+              & (poor_duration_masks.sum(-1) > 0)).astype(jnp.float32)
+    return _per_sample_cc(saliency, salmap) * paired, paired
+
+
+def cc_match_loss(gt_cc, pre_cc):
+    """Mean absolute CC gap (reference ``CC_MatchLoss``, loss.py:104-106)."""
+    return jnp.abs(gt_cc - pre_cc).mean()
+
+
+def kld_items(saliency, salmap):
+    """Per-sample (un-meaned) KLD vector (reference ``KLD_items``,
+    loss.py:116-126)."""
+    a = saliency.reshape(saliency.shape[0], -1)
+    b = salmap.reshape(salmap.shape[0], -1)
+    a = a / (a.sum(-1, keepdims=True) + EPSILON)
+    b = b / (b.sum(-1, keepdims=True) + EPSILON)
+    return (b * jnp.log(b / (a + EPSILON) + EPSILON)).sum(-1)
+
+
+def kld_visual_linguistic_alignment(saliency, question_objects_pos,
+                                    question_objects_masks,
+                                    fullanswer_objects_pos,
+                                    fullanswer_objects_masks):
+    """KLD between the softmaxed saliency map and the binarized union of
+    question + full-answer object regions (reference
+    ``KLD_visual_linguistic_alignment``, loss.py:128-139).
+
+    saliency: [N, H, W]; *_objects_pos: [N, H, W, K]; *_masks: [N, K].
+    """
+    n, h, w = saliency.shape[:3]
+    gt = (question_objects_pos
+          * question_objects_masks[:, None, None, :]).sum(-1) \
+        + (fullanswer_objects_pos
+           * fullanswer_objects_masks[:, None, None, :]).sum(-1)
+    gt = (gt > 0).astype(jnp.float32)
+    gt = gt / (gt.reshape(n, -1).sum(-1)[:, None, None] + EPSILON)
+    sal = jax.nn.softmax(saliency.reshape(n, -1), -1).reshape(n, h, w)
+    return kld(sal, gt)
+
+
+def kld_question_aligment(saliency, question_objects_pos,
+                          question_objects_masks, duration_masks):
+    """For every (sample, question object): the minimum over valid
+    timesteps of KLD(softmaxed step map || object map); mean over valid
+    pairs (reference ``KLD_question_aligment``, loss.py:141-171 —
+    the reference's per-sample Python loop with inf-masking becomes a
+    fixed-shape [N, T, K] grid reduction).
+
+    saliency: [N, T, H, W]; question_objects_pos: [N, H, W, K];
+    question_objects_masks: [N, K]; duration_masks: [N, T].
+    """
+    n, t, h, w = saliency.shape
+    k = question_objects_pos.shape[-1]
+    sal = jax.nn.softmax(saliency.reshape(n * t, -1), -1)
+    sal = sal.reshape(n, t, -1)
+    obj = question_objects_pos.reshape(n, -1, k)
+    obj = jnp.swapaxes(obj, 1, 2)                            # [N, K, HW]
+    obj_n = obj / (obj.sum(-1, keepdims=True) + EPSILON)
+    # kl[n, t, k] = sum_hw obj_n * log(obj_n / sal + eps)
+    kl = jnp.einsum("nkh,ntkh->ntk", obj_n,
+                    jnp.log(obj_n[:, None] / (sal[:, :, None] + EPSILON)
+                            + EPSILON))
+    kl = jnp.where(duration_masks[..., None] > 0, kl, jnp.inf)
+    min_kl = kl.min(axis=1)                                  # [N, K]
+    m = question_objects_masks
+    return (jnp.where(m > 0, min_kl, 0.0).sum()
+            / jnp.maximum(m.sum(), 1.0))

@@ -64,7 +64,13 @@ class RLConfig:
     task: str
     grid: GridSpec
     rl_sample_number: int
+    # Static bounds for the NW DP tables.  The Trainer derives these
+    # from the training split (EvaluationDataset.wd_symbols_needed /
+    # .pad_gt_len) so GT never overflows; sampled rollouts can still
+    # exceed max_symbols_wd (durations are unbounded LogNormals) and
+    # that case is COUNTED and reported as `reward_overflow_frac`.
     max_symbols_wd: int = 256
+    max_symbols_wod: int = 24
     apply_cd: bool = False
     lambda_5: float = -2.0
 
@@ -76,9 +82,9 @@ class RLConfig:
 
     @property
     def spec_wod(self):
-        return jm.ScanMatchSpec(xres=self.grid.width, yres=self.grid.height,
-                                temp_bin=0.0,
-                                max_symbols=max(self.grid.max_length, 24))
+        return jm.ScanMatchSpec(
+            xres=self.grid.width, yres=self.grid.height, temp_bin=0.0,
+            max_symbols=max(self.grid.max_length, self.max_symbols_wod))
 
 
 def _model_inputs(task: str, batch: dict) -> dict:
@@ -133,12 +139,21 @@ def _hmean2(a, b):
     return jnp.where(ok, 2.0 * a * b / jnp.where(ok, a + b, 1.0), 0.0)
 
 
-def _pair_grids(cfg: RLConfig, gt_fix, gt_len, gt_mask, pred_fix, pred_len):
-    """(wod, wd) grids [R, N, S] for R rollouts of predictions."""
+def _pair_grids(cfg: RLConfig, gt_fix, gt_len, gt_mask, pred_fix, pred_len,
+                full: bool = False):
+    """Per-(rollout, sample, subject) metric grids for R rollouts.
+
+    Always returns {"wod", "wd"} [R, N, S]; with ``full`` additionally
+    MultiMatch {"mm"} [R, N, S, 5], {"sed"} and {"stde"} [R, N, S] —
+    the complete reference ``pairs_eval`` column set
+    (OSIE/utils/evaluation.py:284-340) computed on device.
+    """
     r, n = pred_fix.shape[:2]
     s = gt_fix.shape[1]
     gt_fix_r = jnp.broadcast_to(gt_fix, (r,) + gt_fix.shape)
     gt_len_r = jnp.broadcast_to(gt_len, (r,) + gt_len.shape)
+    gt_flat = gt_fix_r.reshape(r * n * s, *gt_fix.shape[2:])
+    gt_len_flat = gt_len_r.reshape(r * n * s)
     wod, wd = jm.scanmatch_pair_grid(
         cfg.spec_wd, cfg.spec_wod,
         gt_fix_r.reshape(r * n, s, *gt_fix.shape[2:]),
@@ -146,7 +161,24 @@ def _pair_grids(cfg: RLConfig, gt_fix, gt_len, gt_mask, pred_fix, pred_len):
         jnp.broadcast_to(gt_mask, (r,) + gt_mask.shape).reshape(r * n, s),
         pred_fix.reshape(r * n, *pred_fix.shape[2:]),
         pred_len.reshape(r * n))
-    return wod.reshape(r, n, s), wd.reshape(r, n, s)
+    out = {"wod": wod.reshape(r, n, s), "wd": wd.reshape(r, n, s)}
+    if not full:
+        return out
+    pred_rep = jnp.repeat(pred_fix.reshape(r * n, *pred_fix.shape[2:]),
+                          s, axis=0)
+    pred_len_rep = jnp.repeat(pred_len.reshape(r * n), s, axis=0)
+    g = cfg.grid
+    out["mm"] = jm.multimatch_scores(
+        gt_flat, gt_len_flat, pred_rep, pred_len_rep,
+        xres=g.width, yres=g.height).reshape(r, n, s, 5)
+    out["sed"] = jm.sed_scores(
+        gt_flat, gt_len_flat, pred_rep, pred_len_rep,
+        height=g.height, width=g.width).astype(jnp.float32) \
+        .reshape(r, n, s)
+    out["stde"] = jm.stde_scores(
+        gt_flat, gt_len_flat, pred_rep, pred_len_rep,
+        height=g.height, width=g.width).reshape(r, n, s)
+    return out
 
 
 def _eval_forward(model, params, batch_stats, batch):
@@ -181,22 +213,28 @@ def rl_step(model, optimizer, state: TrainState, batch: dict, key,
         samples = jax.vmap(
             lambda k: random_sample(k, probs, mu, sigma2, cfg.grid))(keys)
 
-        wod, wd = jax.lax.stop_gradient(_pair_grids(
+        full = cfg.task == "osie"
+        grids = jax.lax.stop_gradient(_pair_grids(
             cfg, batch["gt_fix"], batch["gt_len"], batch["gt_mask"],
-            samples.fix, samples.fix_len))
+            samples.fix, samples.fix_len, full=full))
+        wod, wd = grids["wod"], grids["wd"]
         gt_mask = batch["gt_mask"][None]                      # [1, N, S]
-        if cfg.task == "osie":
-            # MultiMatch-NaN voiding (reference pairs_eval): a pair
-            # counts only if both scanpaths have >= 3 fixations.
-            pair_ok = (gt_mask > 0) \
-                & (batch["gt_len"][None] >= 3) \
-                & (samples.fix_len[..., None] >= 3)
+        if full:
+            # exact reference pairs_eval row voiding: a (GT, rollout)
+            # pair is dropped when ANY MultiMatch similarity is NaN
+            # (< 3 fixations on either side, or a zero-duration pair —
+            # OSIE/utils/evaluation.py:296-299,327)
+            pair_ok = (gt_mask > 0) & ~jnp.isnan(grids["mm"]).any(-1)
         else:
             pair_ok = (gt_mask > 0) & ~jnp.isnan(wod) & ~jnp.isnan(wd)
         pair_okf = pair_ok.astype(jnp.float32)
         total = jnp.maximum(batch["gt_mask"].sum(-1)[None], 1.0)  # [1, N]
-        wod_mean = jnp.where(jnp.isnan(wod), 0., wod * pair_okf).sum(-1) / total
-        wd_mean = jnp.where(jnp.isnan(wd), 0., wd * pair_okf).sum(-1) / total
+
+        def grid_mean(x):
+            return jnp.where(jnp.isnan(x), 0., x * pair_okf).sum(-1) / total
+
+        wod_mean = grid_mean(wod)
+        wd_mean = grid_mean(wd)
         reward = _hmean2(wod_mean, wd_mean)                   # [R, N]
         ok = pair_ok.any(-1).astype(jnp.float32)              # [R, N]
         baseline = (reward * ok).sum(0) / jnp.maximum(ok.sum(0), 1.0)
@@ -204,9 +242,49 @@ def rl_step(model, optimizer, state: TrainState, batch: dict, key,
 
         nla, nld = _reinforce_terms(samples, mu, sigma2)
         loss = (nla * adv).sum() + (nld * adv).sum()
+        # loud (not silent) static-bound truncation accounting: fraction
+        # of rollouts whose TempBin expansion exceeds the NW table bound
+        overflow = jm.expansion_overflow(
+            cfg.spec_wd, samples.fix.reshape(-1, *samples.fix.shape[2:]),
+            samples.fix_len.reshape(-1))
         metrics = {"rl_loss": loss, "reward_hmean": reward.mean(),
-                   "reward_wod": wod_mean.mean(), "reward_wd": wd_mean.mean(),
-                   "rollout_ok_frac": ok.mean()}
+                   "rollout_ok_frac": ok.mean(),
+                   "reward_overflow_frac":
+                       overflow.astype(jnp.float32).mean()}
+        if full:
+            # the reference's 11 metrics_for_reward/* scalars
+            # (OSIE/train.py:269-281): per-sample pairs_eval columns
+            # averaged over rollouts x samples (masked mean over the
+            # valid entries instead of the reference's reject-and-
+            # resample loop)
+            okf = ok
+            denom = jnp.maximum(okf.sum(), 1.0)
+
+            def col_mean(per_rn):
+                return (per_rn * okf).sum() / denom
+
+            mm_mean = grid_mean(
+                jnp.moveaxis(grids["mm"], -1, 0))             # [5, R, N]
+            big = jnp.float32(3.4e38)
+            sed_best = jnp.min(
+                jnp.where(pair_ok, grids["sed"], big), -1)
+            stde_best = jnp.max(
+                jnp.where(pair_ok, grids["stde"], -big), -1)
+            names = ["vector", "direction", "length", "position",
+                     "duration"]
+            for i, nm in enumerate(names):
+                metrics[f"metrics_for_reward/{nm}"] = col_mean(mm_mean[i])
+            metrics["metrics_for_reward/w/o duration"] = col_mean(wod_mean)
+            metrics["metrics_for_reward/w/ duration"] = col_mean(wd_mean)
+            metrics["metrics_for_reward/SED mean"] = col_mean(
+                grid_mean(grids["sed"]))
+            metrics["metrics_for_reward/STDE mean"] = col_mean(
+                grid_mean(grids["stde"]))
+            metrics["metrics_for_reward/SED best"] = col_mean(sed_best)
+            metrics["metrics_for_reward/STDE best"] = col_mean(stde_best)
+        else:
+            metrics["reward_wod"] = wod_mean.mean()
+            metrics["reward_wd"] = wd_mean.mean()
         return loss, metrics
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -233,9 +311,10 @@ def _air_rl_loss(out, batch, key, cfg: RLConfig):
         keys = jax.random.split(jax.random.fold_in(key, si), r)
         samples = jax.vmap(
             lambda k: random_sample(k, probs, mu, sigma2, cfg.grid))(keys)
-        wod, wd = jax.lax.stop_gradient(_pair_grids(
+        grids = jax.lax.stop_gradient(_pair_grids(
             cfg, batch["gt_fix"], batch["gt_len"], gt_mask,
             samples.fix, samples.fix_len))
+        wod, wd = grids["wod"], grids["wd"]
         same = (perf[None] == float(stream == "good")) & (gt_mask[None] > 0)
         diff = (perf[None] != float(stream == "good")) & (gt_mask[None] > 0)
 

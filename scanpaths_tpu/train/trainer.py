@@ -39,7 +39,7 @@ from ..utils.checkpointing import CheckpointManager, restore_pytree
 from ..utils.logger import Logger
 from ..utils.recording import RecordManager
 from . import steps
-from .mesh import batch_sharding, make_mesh, replicated, shard_batch
+from .mesh import make_mesh, replicated, shard_batch
 from .schedule import lr_multiplier, make_optimizer
 from .steps import RLConfig, TrainState
 
@@ -124,7 +124,9 @@ class Trainer:
         # ---------------- model / optimizer / mesh ----------------
         self.model = create_model(
             self.task, seq_len=args.max_length, map_h=args.map_height,
-            map_w=args.map_width)
+            map_w=args.map_width,
+            dtype=jnp.bfloat16 if getattr(args, "half_precision", False)
+            else jnp.float32)
         self.mesh = make_mesh(args.mesh_size)
         self.optimizer = make_optimizer(args, len(self.train_loader),
                                         len(self.train_rl_loader))
@@ -136,31 +138,44 @@ class Trainer:
             rl_lr_initial_decay=args.rl_lr_initial_decay)
 
         self.state = self._init_state()
+        # static NW-table bounds derived from the training split so GT
+        # symbol expansion NEVER silently truncates (ADVICE r1); sampled
+        # rollouts that overflow are counted in reward_overflow_frac.
+        rl_ds = self.train_rl_loader.dataset
+        max_wd = int(np.ceil(max(rl_ds.wd_symbols_needed, 256) / 64) * 64)
         self.rl_cfg = RLConfig(task=self.task, grid=self.grid,
                                rl_sample_number=args.rl_sample_number,
+                               max_symbols_wd=max_wd,
+                               max_symbols_wod=rl_ds.pad_gt_len,
                                apply_cd=args.apply_consistency_divergence,
                                lambda_5=args.lambda_5)
+        if rl_ds.wd_symbols_needed > 256:
+            self.logger.info(
+                "ScanMatch w/-duration NW tables sized to %d symbols "
+                "(split needs %d)", max_wd, rl_ds.wd_symbols_needed)
 
-        # jitted steps: state replicated, batch sharded on the data axis
+        # jitted steps: state replicated over the mesh, batch sharded on
+        # the data axis (the batch arrives pre-sharded via shard_batch;
+        # the state sharding is pinned so donation keeps it replicated)
         rep = replicated(self.mesh)
-        shd = batch_sharding(self.mesh)
+        self.state = jax.device_put(self.state, rep)
         self._sup_step = jax.jit(
             functools.partial(steps.supervised_step, self.model,
                               self.optimizer, lambda_1=args.lambda_1),
-            donate_argnums=(0,))
+            donate_argnums=(0,), in_shardings=(rep, None))
         self._rl_step = jax.jit(
             functools.partial(steps.rl_step, self.model, self.optimizer,
                               cfg=self.rl_cfg),
-            donate_argnums=(0,))
+            donate_argnums=(0,), in_shardings=(rep, None, None))
         self._eval_forward = jax.jit(
             lambda params, bs, batch: steps._eval_forward(
-                self.model, params, bs, batch))
+                self.model, params, bs, batch),
+            in_shardings=(rep, rep, None))
         self._sampler = jax.jit(
             lambda key, probs, mu, s2, n: jax.vmap(
                 lambda k: random_sample(k, probs, mu, s2, self.grid))(
                 jax.random.split(key, n)),
             static_argnums=(4,))
-        del rep, shd
 
         # ---------------- bookkeeping ----------------
         self.writer = ScalarWriter(self.log_dir)
@@ -178,12 +193,15 @@ class Trainer:
                 {"model": {"params": self.state.params,
                            "batch_stats": self.state.batch_stats},
                  "optimizer": self.state.opt_state})
-            self.state = self.state.replace(
-                params=restored["model"]["params"],
-                batch_stats=restored["model"]["batch_stats"],
-                opt_state=restored["optimizer"])
+            self.state = jax.device_put(
+                self.state.replace(
+                    params=restored["model"]["params"],
+                    batch_stats=restored["model"]["batch_stats"],
+                    opt_state=restored["optimizer"]),
+                replicated(self.mesh))
 
         self.key = jax.random.PRNGKey(args.seed)
+        self._profiling = False
 
     # ------------------------------------------------------------------
     def _init_state(self) -> TrainState:
@@ -243,13 +261,32 @@ class Trainer:
         return shard_batch(self.mesh, out)
 
     # ------------------------------------------------------------------
+    def _maybe_profile(self, iteration: int):
+        """Opt-in jax.profiler trace of a few steady-state steps
+        (SURVEY §5 tracing/profiling rebuild note)."""
+        pdir = getattr(self.args, "profile_dir", "")
+        if not pdir:
+            return
+        if iteration == 3 and not self._profiling:
+            jax.profiler.start_trace(pdir)
+            self._profiling = True
+            self.logger.info("jax.profiler trace started -> %s", pdir)
+        elif iteration >= 8 and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.logger.info("jax.profiler trace stopped")
+
     def train_epoch(self, iteration: int, epoch: int) -> int:
         args = self.args
+        import time as _time
+        t0 = _time.perf_counter()
+        n_steps0 = iteration
         if epoch < args.start_rl_epoch:
             for batch in self.train_loader:
                 db = self._device_batch(batch, for_rl=False)
                 self.state, metrics = self._sup_step(self.state, db)
                 iteration += 1
+                self._maybe_profile(iteration)
                 self.writer.add_scalar("loss/loss", metrics["loss"],
                                        iteration)
                 self.writer.add_scalar("loss/loss_actions",
@@ -259,17 +296,31 @@ class Trainer:
                 self.writer.add_scalar(
                     "learning_rate",
                     args.lr * float(self.lr_fn(iteration)), iteration)
+            images_per_step = args.batch
         else:
             for batch in self.train_rl_loader:
                 db = self._device_batch(batch, for_rl=True)
                 self.key, sub = jax.random.split(self.key)
                 self.state, metrics = self._rl_step(self.state, db, sub)
                 iteration += 1
+                self._maybe_profile(iteration)
                 for tag, val in metrics.items():
                     self.writer.add_scalar(tag, val, iteration)
                 self.writer.add_scalar(
                     "learning_rate",
                     args.lr * float(self.lr_fn(iteration)), iteration)
+            images_per_step = max(args.batch // 4, 1)
+        jax.block_until_ready(self.state.step)
+        dt = _time.perf_counter() - t0
+        n = iteration - n_steps0
+        if n > 0 and dt > 0:
+            self.writer.add_scalar("perf/steps_per_sec", n / dt, iteration)
+            self.writer.add_scalar("perf/images_per_sec",
+                                   n * images_per_step / dt, iteration)
+            self.logger.info(
+                f"epoch {epoch}: {n} steps in {dt:.1f}s "
+                f"({n / dt:.2f} steps/s, "
+                f"{n * images_per_step / dt:.1f} images/s)")
         return iteration
 
     # ------------------------------------------------------------------

@@ -109,14 +109,26 @@ def test_evaluation_dataset_and_loader(synth_root, task):
         assert v["start_x"].max() < 320.5
         assert v["start_y"].max() < 240.5
         assert np.all(v["duration"] < 10.0)  # seconds, not ms
-    assert s["gt_fix"].shape == (16, 24, 3)
+    # device-GT pads are DERIVED from the split (no silent truncation):
+    # subject axis = largest group, fixation axis = longest GT scanpath
+    exp_subjects = max(len(g) for g in ds.groups.values())
+    exp_len = max(int(r.get("length", len(r["X"]))) for r in ds.records)
+    assert ds.pad_subjects == exp_subjects
+    assert ds.pad_gt_len == exp_len
+    assert s["gt_fix"].shape == (exp_subjects, exp_len, 3)
     assert s["gt_mask"].sum() == len(s["fix_vectors"])
+    # every GT fixation of every group fits the padded tensors
+    for i in range(len(ds)):
+        gi = ds[i]
+        assert len(gi["fix_vectors"]) <= exp_subjects
+        assert all(len(v) <= exp_len for v in gi["fix_vectors"])
+    assert ds.wd_symbols_needed >= 1
 
     loader = Loader(ds, batch_size=4, shuffle=True, seed=3)
     batch = next(iter(loader))
     assert batch["images"].shape[0] == min(4, len(ds))
     assert len(batch["fix_vectors"]) == batch["images"].shape[0]
-    assert batch["gt_fix"].shape[1:] == (16, 24, 3)
+    assert batch["gt_fix"].shape[1:] == (exp_subjects, exp_len, 3)
 
 
 def test_loader_shuffle_deterministic(synth_root):

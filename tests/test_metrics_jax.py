@@ -114,3 +114,42 @@ def test_pair_grid_shapes(rng):
     sm_wod = ScanMatch(Xres=320, Yres=240, Xbin=16, Ybin=12, Threshold=3.5)
     want = host_scanmatch(sm_wod, gt[1, 2], gl[1, 2], pf[1], pl[1])
     assert np.array(wod)[1, 2] == pytest.approx(want, rel=1e-5)
+
+
+def test_multimatch_jax_matches_host(rng):
+    """Device MultiMatch vs the host docomparison on random pairs,
+    including <3-fixation NaN rows."""
+    from scanpaths_tpu.metrics.multimatch import docomparison
+
+    b = 12
+    fa, la = random_batch(rng, b, min_len=2, max_len=L)
+    fb, lb = random_batch(rng, b, min_len=2, max_len=L)
+    dev = np.asarray(jax.jit(
+        lambda *a: jm.multimatch_scores(*a, xres=320, yres=240))(
+        jnp.asarray(fa), jnp.asarray(la), jnp.asarray(fb), jnp.asarray(lb)))
+    for i in range(b):
+        host = docomparison(fa[i, :la[i]], fb[i, :lb[i]],
+                            screensize=(320, 240))
+        if np.any(np.isnan(host)):
+            assert np.all(np.isnan(dev[i])), (i, dev[i], host)
+        else:
+            np.testing.assert_allclose(dev[i], host, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"pair {i}")
+
+
+def test_multimatch_jax_identical_paths(rng):
+    fa, la = random_batch(rng, 4, min_len=4, max_len=L)
+    dev = np.asarray(jm.multimatch_scores(
+        jnp.asarray(fa), jnp.asarray(la), jnp.asarray(fa), jnp.asarray(la)))
+    np.testing.assert_allclose(dev, 1.0, atol=1e-6)
+
+
+def test_expansion_overflow_flags(rng):
+    spec = jm.ScanMatchSpec(temp_bin=50.0, max_symbols=8)
+    fix = np.zeros((2, 4, 3), np.float32)
+    fix[:, :, 2] = 0.1          # 100 ms -> 2 symbols per fixation
+    lens = np.array([4, 4], np.int32)
+    fix[1, :, 2] = 0.3          # 300 ms -> 6 symbols each -> 24 > 8
+    flags = np.asarray(jm.expansion_overflow(
+        spec, jnp.asarray(fix), jnp.asarray(lens)))
+    assert flags.tolist() == [False, True]
