@@ -3,6 +3,10 @@ COCO_Search18/test.py): load checkpoint_best, print the human baseline,
 sample eval_repeat_num scanpaths per image (x2 streams for AiR), dump
 the prediction JSON, run the full metric suite.
 
+Inference-only: builds an ``Evaluator`` (model + eval split + best
+checkpoint) — no train loaders and no optimizer, matching the reference
+test drivers which touch only the eval split (AiR/test.py:60-104).
+
 COCO evaluates its validation split and writes
 ``validation_predicts.json`` (no public test split — reference
 COCO_Search18/test.py:67-68); the others write ``test_predicts.json``.
@@ -33,33 +37,24 @@ def dump_record(img_name, fix_vector, trial, extra):
 def main(argv=None):
     args = parse_opt(argv)
     np.random.seed(args.seed)
-    from ..metrics import evaluation as heval
-    from ..train.trainer import Trainer
-    from ..utils.checkpointing import restore_pytree
-
-    # reuse the Trainer plumbing with the evaluation split
-    args.resume_dir = args.evaluation_dir or args.resume_dir
-    trainer = Trainer(args)
-    split = "validation" if args.task == "coco" else "test"
     from ..data.datasets import EvaluationDataset, Loader
-    from ..train.trainer import data_config
+    from ..metrics import evaluation as heval
+    from ..train.trainer import Evaluator, data_config
+
+    log_dir = args.evaluation_dir or args.resume_dir
+    assert log_dir, "--evaluation_dir (the training log dir) is required"
+    evaluator = Evaluator(args, log_dir)
+    evaluator.load_best()
+
+    split = "validation" if args.task == "coco" else "test"
     loader = Loader(EvaluationDataset(args.task, data_config(args),
                                       split=split),
                     batch_size=args.batch, shuffle=False)
 
-    # load best checkpoint (reference test.py loads checkpoint_best)
-    best_path = join(trainer.checkpoints_dir, "checkpoint_best.msgpack")
-    restored = restore_pytree(
-        best_path, {"model": {"params": trainer.state.params,
-                              "batch_stats": trainer.state.batch_stats}})
-    trainer.state = trainer.state.replace(
-        params=restored["model"]["params"],
-        batch_stats=restored["model"]["batch_stats"])
-
     human_metrics, human_std, _ = heval.human_evaluation(loader,
                                                          task=args.task)
-    trainer.logger.info("The metrics for human performance are: ")
-    trainer._log_metric_tree_quiet(human_metrics, human_std)
+    evaluator.logger.info("The metrics for human performance are: ")
+    evaluator._log_metric_tree_quiet(human_metrics, human_std)
 
     repeat = args.eval_repeat_num
     all_gt, all_pred, all_perf, all_alloc = [], [], [], []
@@ -69,7 +64,7 @@ def main(argv=None):
         streams = (("good", True), ("poor", False)) if args.task == "air" \
             else ((None, None),)
         for stream, flag in streams:
-            preds = trainer.decode_batch(batch, repeat, stream)
+            preds = evaluator.decode_batch(batch, repeat, stream)
             for r in range(repeat):
                 all_gt.extend(batch["fix_vectors"])
                 if args.task == "air":
@@ -95,11 +90,11 @@ def main(argv=None):
 
     name = ("validation_predicts.json" if args.task == "coco"
             else "test_predicts.json")
-    with open(join(trainer.log_dir, name), "w") as f:
+    with open(join(log_dir, name), "w") as f:
         json.dump(predict_results, f, indent=2)
 
-    trainer.logger.info("The metrics for best model performance are: ")
-    trainer._log_metric_tree_quiet(cur_metrics, cur_std)
+    evaluator.logger.info("The metrics for best model performance are: ")
+    evaluator._log_metric_tree_quiet(cur_metrics, cur_std)
     return cur_metrics
 
 

@@ -141,6 +141,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default="",
                    help="if set, capture a jax.profiler trace of a few "
                         "training steps into this directory")
+    p.add_argument("--embed", type=int, default=512,
+                   help="decoder feature width (512 = reference)")
+    p.add_argument("--backbone_layers", type=str, default="3,4,6,3",
+                   help="blocks per ResNet stage; 3,4,6,3 = ResNet-50 "
+                        "(smaller values give thin models for smoke "
+                        "drives)")
     # config files
     p.add_argument("--cfg", type=str, default=None)
     p.add_argument("--set_cfgs", dest="set_cfgs", default=[], nargs="+")

@@ -56,13 +56,18 @@ class ScanpathModel(nn.Module):
     map_w: int = 40
     num_categories: int = 18  # coco head bank size
     dtype: Any = jnp.float32  # compute dtype (params stay f32)
+    # blocks per ResNet stage; (3, 4, 6, 3) = ResNet-50.  Smaller values
+    # give structurally identical tiny models for CPU-hosted tests and
+    # the multi-chip dryrun.
+    backbone_layers: tuple = (3, 4, 6, 3)
 
     @property
     def hw(self) -> int:
         return self.map_h * self.map_w
 
     def setup(self):
-        self.backbone = DilatedResNet50(dtype=self.dtype)
+        self.backbone = DilatedResNet50(layers=self.backbone_layers,
+                                        dtype=self.dtype)
         self.sal_conv = nn.Conv(self.embed, (3, 3), padding=[(1, 1), (1, 1)],
                                 kernel_init=xavier_conv_init,
                                 dtype=self.dtype)

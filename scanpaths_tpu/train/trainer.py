@@ -23,6 +23,7 @@ import json
 import os
 import shutil
 from os.path import join
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +83,143 @@ def grid_spec(args) -> GridSpec:
                     max_length=args.max_length, min_length=args.min_length)
 
 
-class Trainer:
+def build_model(args):
+    layers = tuple(int(x) for x in
+                   str(getattr(args, "backbone_layers", "3,4,6,3"))
+                   .split(","))
+    return create_model(
+        args.task, seq_len=args.max_length, map_h=args.map_height,
+        map_w=args.map_width, embed=getattr(args, "embed", 512),
+        backbone_layers=layers,
+        dtype=jnp.bfloat16 if getattr(args, "half_precision", False)
+        else jnp.float32)
+
+
+class EvalCore:
+    """Shared decode/eval plumbing: jitted eval forward + batched
+    sampler + host-metric logging.  ``Trainer`` adds the training stack
+    on top; ``Evaluator`` (the test driver, reference test.py) uses it
+    as-is so inference never constructs train loaders or an optimizer.
+    """
+
+    args: Any
+    task: str
+    grid: GridSpec
+    model: Any
+    mesh: Any
+    state: TrainState
+    logger: Any
+    key: Any
+
+    def _build_eval_jits(self):
+        rep = replicated(self.mesh)
+        self._eval_forward = jax.jit(
+            lambda params, bs, batch: steps._eval_forward(
+                self.model, params, bs, batch),
+            in_shardings=(rep, rep, None))
+        self._sampler = jax.jit(
+            lambda key, probs, mu, s2, n: jax.vmap(
+                lambda k: random_sample(k, probs, mu, s2, self.grid))(
+                jax.random.split(key, n)),
+            static_argnums=(4,))
+
+    def _device_batch(self, batch: dict, for_rl: bool) -> dict:
+        keys_sup = ("images", "scanpaths", "durations", "action_masks",
+                    "duration_masks", "attention_maps", "performances",
+                    "tasks")
+        keys_rl = ("images", "gt_fix", "gt_len", "gt_mask",
+                   "attention_maps", "tasks", "gt_performance")
+        keep = keys_rl if for_rl else keys_sup
+        out = {}
+        for k in keep:
+            if k in batch:
+                v = batch[k]
+                if k == "performances" and isinstance(v, np.ndarray):
+                    v = v.astype(np.float32)
+                out[k] = np.asarray(v)
+        if self.args.ablate_attention_info and "attention_maps" in out:
+            out["attention_maps"] = out["attention_maps"] * 0
+        return shard_batch(self.mesh, out)
+
+    def decode_batch(self, batch, repeat_num: int, stream: str | None = None):
+        """Eval forward + ``repeat_num`` stochastic decodes; returns a
+        list (repeat-major) of per-image fixation vectors."""
+        db = self._device_batch(batch, for_rl=True)
+        out = self._eval_forward(self.state.params, self.state.batch_stats,
+                                 db)
+        prefix = f"{stream}_" if stream else ""
+        probs = out[f"{prefix}all_actions_prob"]
+        mu = out[f"{prefix}log_normal_mu"]
+        sigma2 = out[f"{prefix}log_normal_sigma2"]
+        self.key, sub = jax.random.split(self.key)
+        samples = self._sampler(sub, probs, mu, sigma2, repeat_num)
+        return to_fix_vectors(samples)  # repeat-major flat list [R*N]
+
+    def selection_metric(self, cur_metrics) -> float:
+        if self.task == "air":
+            vals = (list(cur_metrics["right_answer"]["ScanMatch"].values())
+                    + list(cur_metrics["wrong_answer"]["ScanMatch"].values()))
+        else:
+            vals = list(cur_metrics["ScanMatch"].values())
+        return float(scipy.stats.hmean(vals))
+
+    def _log_metric_tree_quiet(self, metrics, stds):
+        def walk(m, s, prefix):
+            for k, v in m.items():
+                if isinstance(v, dict):
+                    walk(v, s[k], prefix + [k])
+                else:
+                    self.logger.info(
+                        f"{'-'.join(prefix):24}-{k:15}: {v:.4f} "
+                        f"+- {s[k]:.4f}")
+        walk(metrics, stds, [])
+
+
+class Evaluator(EvalCore):
+    """Inference-only driver for ``cli/test.py``: model + eval split +
+    checkpoint restore, NO train loaders and NO optimizer (the reference
+    test drivers need only the eval split — AiR/test.py:60-104)."""
+
+    def __init__(self, args, log_dir: str):
+        self.args = args
+        self.task = args.task
+        self.grid = grid_spec(args)
+        self.log_dir = log_dir
+        self.checkpoints_dir = join(log_dir, "checkpoints")
+        self.logger = Logger(join(log_dir, "log_test.txt"))
+        self.model = build_model(args)
+        self.mesh = make_mesh(args.mesh_size)
+        n = max(args.batch // 4, 1)
+        dummy = jnp.zeros((n, args.height, args.width, 3), jnp.float32)
+        kw = {}
+        if self.task in ("air", "coco"):
+            kw["attention_maps"] = jnp.zeros(
+                (n, args.map_height, args.map_width, 1), jnp.float32)
+        if self.task == "coco":
+            kw["task_ids"] = jnp.zeros((n,), jnp.int32)
+        variables = jax.jit(
+            lambda k: self.model.init(k, dummy, train=False, **kw)
+        )(jax.random.PRNGKey(args.seed))
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=None, step=jnp.int32(0))
+        self._build_eval_jits()
+        self.key = jax.random.PRNGKey(args.seed)
+
+    def load_best(self):
+        """Restore checkpoint_best.msgpack (reference test.py loads
+        checkpoint_best.pth, AiR/test.py:91-96)."""
+        restored = restore_pytree(
+            join(self.checkpoints_dir, "checkpoint_best.msgpack"),
+            {"model": {"params": self.state.params,
+                       "batch_stats": self.state.batch_stats}})
+        self.state = self.state.replace(
+            params=restored["model"]["params"],
+            batch_stats=restored["model"]["batch_stats"])
+
+
+class Trainer(EvalCore):
     def __init__(self, args):
         self.args = args
         self.task = args.task
@@ -122,11 +259,7 @@ class Trainer:
             batch_size=args.batch, shuffle=False)
 
         # ---------------- model / optimizer / mesh ----------------
-        self.model = create_model(
-            self.task, seq_len=args.max_length, map_h=args.map_height,
-            map_w=args.map_width,
-            dtype=jnp.bfloat16 if getattr(args, "half_precision", False)
-            else jnp.float32)
+        self.model = build_model(args)
         self.mesh = make_mesh(args.mesh_size)
         self.optimizer = make_optimizer(args, len(self.train_loader),
                                         len(self.train_rl_loader))
@@ -167,15 +300,7 @@ class Trainer:
             functools.partial(steps.rl_step, self.model, self.optimizer,
                               cfg=self.rl_cfg),
             donate_argnums=(0,), in_shardings=(rep, None, None))
-        self._eval_forward = jax.jit(
-            lambda params, bs, batch: steps._eval_forward(
-                self.model, params, bs, batch),
-            in_shardings=(rep, rep, None))
-        self._sampler = jax.jit(
-            lambda key, probs, mu, s2, n: jax.vmap(
-                lambda k: random_sample(k, probs, mu, s2, self.grid))(
-                jax.random.split(key, n)),
-            static_argnums=(4,))
+        self._build_eval_jits()
 
         # ---------------- bookkeeping ----------------
         self.writer = ScalarWriter(self.log_dir)
@@ -242,25 +367,6 @@ class Trainer:
         return params, batch_stats
 
     # ------------------------------------------------------------------
-    def _device_batch(self, batch: dict, for_rl: bool) -> dict:
-        keys_sup = ("images", "scanpaths", "durations", "action_masks",
-                    "duration_masks", "attention_maps", "performances",
-                    "tasks")
-        keys_rl = ("images", "gt_fix", "gt_len", "gt_mask",
-                   "attention_maps", "tasks", "gt_performance")
-        keep = keys_rl if for_rl else keys_sup
-        out = {}
-        for k in keep:
-            if k in batch:
-                v = batch[k]
-                if k == "performances" and isinstance(v, np.ndarray):
-                    v = v.astype(np.float32)
-                out[k] = np.asarray(v)
-        if self.args.ablate_attention_info and "attention_maps" in out:
-            out["attention_maps"] = out["attention_maps"] * 0
-        return shard_batch(self.mesh, out)
-
-    # ------------------------------------------------------------------
     def _maybe_profile(self, iteration: int):
         """Opt-in jax.profiler trace of a few steady-state steps
         (SURVEY §5 tracing/profiling rebuild note)."""
@@ -324,20 +430,6 @@ class Trainer:
         return iteration
 
     # ------------------------------------------------------------------
-    def decode_batch(self, batch, repeat_num: int, stream: str | None = None):
-        """Eval forward + ``repeat_num`` stochastic decodes; returns a
-        list (repeat-major) of per-image fixation vectors."""
-        db = self._device_batch(batch, for_rl=True)
-        out = self._eval_forward(self.state.params, self.state.batch_stats,
-                                 db)
-        prefix = f"{stream}_" if stream else ""
-        probs = out[f"{prefix}all_actions_prob"]
-        mu = out[f"{prefix}log_normal_mu"]
-        sigma2 = out[f"{prefix}log_normal_sigma2"]
-        self.key, sub = jax.random.split(self.key)
-        samples = self._sampler(sub, probs, mu, sigma2, repeat_num)
-        return to_fix_vectors(samples)  # repeat-major flat list [R*N]
-
     def validation(self, iteration: int):
         args = self.args
         repeat = args.eval_repeat_num
@@ -382,14 +474,6 @@ class Trainer:
                         f"+- {s[k]:.4f}")
         walk(metrics, stds, [])
 
-    def selection_metric(self, cur_metrics) -> float:
-        if self.task == "air":
-            vals = (list(cur_metrics["right_answer"]["ScanMatch"].values())
-                    + list(cur_metrics["wrong_answer"]["ScanMatch"].values()))
-        else:
-            vals = list(cur_metrics["ScanMatch"].values())
-        return float(scipy.stats.hmean(vals))
-
     # ------------------------------------------------------------------
     def human_baseline(self):
         metrics, stds, _ = heval.human_evaluation(self.validation_loader,
@@ -397,17 +481,6 @@ class Trainer:
         self.logger.info("The metrics for human performance are: ")
         self._log_metric_tree_quiet(metrics, stds)
         return metrics
-
-    def _log_metric_tree_quiet(self, metrics, stds):
-        def walk(m, s, prefix):
-            for k, v in m.items():
-                if isinstance(v, dict):
-                    walk(v, s[k], prefix + [k])
-                else:
-                    self.logger.info(
-                        f"{'-'.join(prefix):24}-{k:15}: {v:.4f} "
-                        f"+- {s[k]:.4f}")
-        walk(metrics, stds, [])
 
     # ------------------------------------------------------------------
     def fit(self):

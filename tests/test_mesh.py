@@ -1,0 +1,126 @@
+"""Data-parallel correctness: the SAME batch must produce identical
+losses and updated parameters on a 1-device and an 8-device mesh
+(replicated params, batch sharded over the ``data`` axis) — the
+TPU-native contract replacing the reference's nn.DataParallel
+(reference AiR/train.py:169-170, SURVEY §2.8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from scanpaths_tpu.core.grid import GridSpec
+from scanpaths_tpu.models.scanpath_model import create_model
+from scanpaths_tpu.train import steps
+from scanpaths_tpu.train.mesh import (batch_sharding, make_mesh, replicated,
+                                      shard_batch)
+from scanpaths_tpu.train.schedule import make_optimizer
+
+MH, MW, T = 10, 12, 4
+H, W = 8 * MH, 8 * MW
+A = MH * MW + 1
+N = 8  # one sample per device on the 8-way mesh
+
+
+def _setup():
+    import types
+    model = create_model("osie", seq_len=T, map_h=MH, map_w=MW,
+                         embed=128, backbone_layers=(1, 1, 1, 1))
+    args = types.SimpleNamespace(lr=1e-3, clip=12.5, weight_decay=1e-4,
+                                 warmup_epoch=1, start_rl_epoch=5, epoch=10,
+                                 rl_lr_initial_decay=0.5)
+    optimizer = make_optimizer(args, steps_sup=4, steps_rl=4)
+    rng = np.random.default_rng(0)
+    images = np.asarray(rng.normal(size=(N, H, W, 3)), np.float32)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.asarray(images), train=False))(jax.random.PRNGKey(0))
+    state = steps.TrainState(params=variables["params"],
+                             batch_stats=variables["batch_stats"],
+                             opt_state=optimizer.init(variables["params"]),
+                             step=jnp.int32(0))
+    scan = np.zeros((N, T, A), np.float32)
+    scan[:, :, 5] = 1.0
+    sup_batch = {
+        "images": images,
+        "scanpaths": scan,
+        "durations": np.full((N, T), 0.3, np.float32),
+        "action_masks": np.ones((N, T), np.float32),
+        "duration_masks": np.ones((N, T), np.float32),
+    }
+    return model, optimizer, state, sup_batch, rng
+
+
+def _run_sup(model, optimizer, state, batch, n_dev):
+    mesh = make_mesh(n_dev)
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    db = shard_batch(mesh, batch)
+    step = jax.jit(lambda s, b: steps.supervised_step(
+        model, optimizer, s, b, lambda_1=1.0), in_shardings=(rep, None))
+    new_state, metrics = step(state, db)
+    return new_state, metrics
+
+
+def _leaves(tree):
+    return np.concatenate([np.ravel(np.asarray(x))
+                           for x in jax.tree_util.tree_leaves(tree)])
+
+
+def test_supervised_step_mesh_equivalence():
+    assert jax.device_count() >= 8, "conftest should force 8 CPU devices"
+    model, optimizer, state, sup_batch, _ = _setup()
+    s1, m1 = _run_sup(model, optimizer, state, sup_batch, 1)
+    s8, m8 = _run_sup(model, optimizer, state, sup_batch, 8)
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=2e-5)
+    p1, p8 = _leaves(s1.params), _leaves(s8.params)
+    np.testing.assert_allclose(p1, p8, rtol=2e-5, atol=2e-6)
+    b1, b8 = _leaves(s1.batch_stats), _leaves(s8.batch_stats)
+    np.testing.assert_allclose(b1, b8, rtol=2e-5, atol=2e-6)
+    # the 8-way run really sharded the batch over the data axis
+    mesh = make_mesh(8)
+    db = shard_batch(mesh, sup_batch)
+    assert db["images"].sharding == batch_sharding(mesh)
+    assert db["images"].addressable_shards[0].data.shape[0] == N // 8
+
+
+def test_rl_step_mesh_equivalence():
+    model, optimizer, state, _, rng = _setup()
+    grid = GridSpec(map_width=MW, map_height=MH, width=W, height=H,
+                    max_length=T, min_length=1)
+    cfg = steps.RLConfig(task="osie", grid=grid, rl_sample_number=2,
+                         max_symbols_wd=32)
+    smax, glen = 3, 6
+    gt_fix = np.zeros((N, smax, glen, 3), np.float32)
+    gt_fix[..., 0] = rng.uniform(0, W, (N, smax, glen))
+    gt_fix[..., 1] = rng.uniform(0, H, (N, smax, glen))
+    gt_fix[..., 2] = rng.uniform(0.1, 0.5, (N, smax, glen))
+    batch = {
+        "images": np.asarray(rng.normal(size=(N, H, W, 3)), np.float32),
+        "gt_fix": gt_fix,
+        "gt_len": np.full((N, smax), glen, np.int32),
+        "gt_mask": np.ones((N, smax), np.float32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        rep = replicated(mesh)
+        st = jax.device_put(state, rep)
+        db = shard_batch(mesh, batch)
+        rl = jax.jit(lambda s, b, k: steps.rl_step(model, optimizer, s, b,
+                                                   k, cfg),
+                     in_shardings=(rep, None, None))
+        new_state, metrics = rl(st, db, key)
+        results[n_dev] = (new_state, metrics)
+
+    (s1, m1), (s8, m8) = results[1], results[8]
+    # identical PRNG key => identical rollouts => identical rewards/loss
+    assert float(m1["reward_hmean"]) == pytest.approx(
+        float(m8["reward_hmean"]), rel=2e-5, abs=1e-6)
+    assert float(m1["rl_loss"]) == pytest.approx(float(m8["rl_loss"]),
+                                                 rel=2e-4, abs=1e-5)
+    np.testing.assert_allclose(_leaves(s1.params), _leaves(s8.params),
+                               rtol=5e-5, atol=5e-6)

@@ -1,6 +1,8 @@
 """Model forward: shapes, task variants, train/eval semantics, gradient
-flow.  Uses a reduced geometry (80x96 input -> 10x12 grid) so the
-stride-8 backbone + 16-step decode stay fast on the CPU test backend."""
+flow.  Uses a reduced geometry (80x96 input -> 10x12 grid) AND a thin
+trunk (one bottleneck per stage, embed 128) so the stride-8 backbone +
+decode run in seconds on the single-core CPU test backend — the
+semantics under test are size-independent."""
 
 import numpy as np
 import pytest
@@ -19,8 +21,11 @@ A = MH * MW + 1
 N = 2
 
 
+TINY = dict(embed=128, backbone_layers=(1, 1, 1, 1))
+
+
 def make_model(task):
-    return ScanpathModel(task=task, seq_len=T, map_h=MH, map_w=MW)
+    return ScanpathModel(task=task, seq_len=T, map_h=MH, map_w=MW, **TINY)
 
 
 def init_and_apply(task, train, rng_seed=0, **inputs):

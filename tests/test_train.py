@@ -75,7 +75,8 @@ def test_config_layering(tmp_path):
 
 def _tiny_setup(task):
     import types
-    model = create_model(task, seq_len=T, map_h=MH, map_w=MW)
+    model = create_model(task, seq_len=T, map_h=MH, map_w=MW,
+                         embed=128, backbone_layers=(1, 1, 1, 1))
     args = types.SimpleNamespace(lr=1e-3, clip=12.5, weight_decay=1e-4,
                                  warmup_epoch=1, start_rl_epoch=5, epoch=10,
                                  rl_lr_initial_decay=0.5)
