@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 SAMPLES = 10
 WARMUP = 2
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
@@ -143,7 +143,13 @@ def main():
         fix, fl = step(variables, images, sub)
         # host materialization INSIDE the timed loop: the next dispatch
         # cannot start until this iteration's work is really finished
-        checksum += float(np.asarray(fix).sum()) + float(np.asarray(fl).sum())
+        # (durations from a random-init model can overflow an f32 sum,
+        # so clip before reducing — the checksum only has to prove the
+        # work happened)
+        checksum += float(np.nan_to_num(np.asarray(fix), nan=1.0,
+                                        posinf=1e6, neginf=-1e6)
+                          .sum(dtype=np.float64))
+        checksum += float(np.asarray(fl).sum(dtype=np.float64))
     dt = time.perf_counter() - t0
 
     images_per_sec = BATCH * ITERS / dt
