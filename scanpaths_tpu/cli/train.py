@@ -12,7 +12,10 @@ from ..core.config import parse_opt
 def main(argv=None):
     args = parse_opt(argv)
     np.random.seed(args.seed)
-    from ..train.trainer import Trainer
+    if args.task == "joint":
+        from ..train.joint import JointTrainer as Trainer
+    else:
+        from ..train.trainer import Trainer
 
     trainer = Trainer(args)
     best = trainer.fit()

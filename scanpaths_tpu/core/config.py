@@ -78,6 +78,10 @@ TASK_DEFAULTS = {
                 fix_dir="./data/fixations"),
     "coco": dict(seed=0, weight_decay=5e-4, img_dir="./data/images",
                  fix_dir="./data/fixations"),
+    # joint multi-task training over all three datasets (new capability
+    # of the rebuild — BASELINE.json config 5)
+    "joint": dict(seed=0, weight_decay=5e-4, img_dir="./data",
+                  fix_dir="./data"),
 }
 
 
@@ -85,7 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Scanpath prediction for images (TPU-native)")
     p.add_argument("--task", type=str, default="osie",
-                   choices=("osie", "air", "coco"))
+                   choices=("osie", "air", "coco", "joint"))
+    p.add_argument("--joint_data_root", type=str, default="./data",
+                   help="root holding osie/ air/ coco/ dataset trees "
+                        "for --task joint")
     p.add_argument("--mode", type=str, default="train")
     p.add_argument("--img_dir", type=str, default=None)
     p.add_argument("--fix_dir", type=str, default=None)

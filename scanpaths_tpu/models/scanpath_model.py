@@ -167,12 +167,21 @@ class ScanpathModel(nn.Module):
     # -- full forward -------------------------------------------------------
 
     def __call__(self, images, attention_maps=None, performances=None,
-                 task_ids=None, train: bool = False):
+                 task_ids=None, train: bool = False, features=None):
         """images: [N, 240, 320, 3] NHWC.  attention_maps: [N, H, W, 1]
         (air/coco) or None (osie -> zeros).  performances: [N] bool
-        (air training).  task_ids: [N] int32 (coco)."""
-        n = images.shape[0]
-        x = self.backbone(images, train=train)
+        (air training).  task_ids: [N] int32 (coco).
+
+        ``features`` (optional [N, H, W, 2048]): precomputed trunk
+        features — used by the joint multi-task model, which runs ONE
+        shared backbone and feeds several task heads; when given, this
+        module's own backbone is bypassed (and, at init time, never
+        creates parameters)."""
+        if features is None:
+            x = self.backbone(images, train=train)
+        else:
+            x = features
+        n = x.shape[0]
         visual = nn.relu(self.sal_conv(x))                  # [N, H, W, C]
 
         if attention_maps is None:
@@ -239,6 +248,73 @@ class ScanpathModel(nn.Module):
             "poor_action_map": pmap,
         }
         return out
+
+
+class JointScanpathModel(nn.Module):
+    """Joint multi-task model: ONE shared dilated-ResNet-50 trunk
+    feeding the three task heads (OSIE free viewing, AiR VQA, COCO
+    visual search).
+
+    The reference has no joint training — its three directories are
+    independent clones — so this is a new capability of the rebuild
+    (BASELINE.json config 5): the 23M-parameter backbone is shared and
+    receives gradients from every task, while each ~13M-parameter head
+    (decoder + conditioner) is task-private.  ``task`` is static per
+    call; training round-robins task batches (train/joint.py).
+    """
+
+    seq_len: int = 16
+    map_h: int = 30
+    map_w: int = 40
+    embed: int = 512
+    num_categories: int = 18
+    dtype: Any = jnp.float32
+    backbone_layers: tuple = (3, 4, 6, 3)
+
+    def setup(self):
+        kw = dict(seq_len=self.seq_len, map_h=self.map_h, map_w=self.map_w,
+                  embed=self.embed, num_categories=self.num_categories,
+                  dtype=self.dtype, backbone_layers=self.backbone_layers)
+        self.backbone = DilatedResNet50(layers=self.backbone_layers,
+                                        dtype=self.dtype)
+        self.osie = ScanpathModel(task="osie", **kw)
+        self.air = ScanpathModel(task="air", **kw)
+        self.coco = ScanpathModel(task="coco", **kw)
+
+    def __call__(self, images, task: str = "osie", attention_maps=None,
+                 performances=None, task_ids=None, train: bool = False):
+        feats = self.backbone(images, train=train)
+        head: ScanpathModel = getattr(self, task)
+        return head(None, attention_maps=attention_maps,
+                    performances=performances, task_ids=task_ids,
+                    train=train, features=feats)
+
+    def init_all(self, images, attention_maps, task_ids):
+        """Initialization entry point: traces every head once so all
+        parameters exist (flax creates params lazily along the traced
+        path).  Use ``model.init(key, ..., method="init_all")``."""
+        feats = self.backbone(images, train=False)
+        outs = {}
+        outs["osie"] = self.osie(None, features=feats)
+        outs["air"] = self.air(None, attention_maps=attention_maps,
+                               features=feats)
+        outs["coco"] = self.coco(None, attention_maps=attention_maps,
+                                 task_ids=task_ids, features=feats)
+        return outs
+
+
+class TaskView:
+    """Adapter giving a :class:`JointScanpathModel` the single-task
+    ``(model.task, model.apply)`` interface the train-step functions
+    expect, with ``task`` statically bound."""
+
+    def __init__(self, joint: JointScanpathModel, task: str):
+        self._joint = joint
+        self.task = task
+
+    def apply(self, variables, images, *args, **kw):
+        return self._joint.apply(variables, images, *args,
+                                 task=self.task, **kw)
 
 
 def create_model(task: str, **kw) -> ScanpathModel:

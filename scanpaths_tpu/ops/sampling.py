@@ -89,6 +89,49 @@ def random_sample(key: jax.Array, probs: jnp.ndarray, mu: jnp.ndarray,
                      duration_mask=duration_mask)
 
 
+def greedy_sample(probs: jnp.ndarray, mu: jnp.ndarray, sigma2: jnp.ndarray,
+                  grid: GridSpec) -> SampleOut:
+    """Deterministic decode: argmax actions (STOP masked for the first
+    ``min_length`` steps, like the stochastic path) and median LogNormal
+    durations ``exp(mu)``.
+
+    The reference has no greedy decoder (its sampling is stochastic
+    only, reference OSIE/models/sampling.py:16-34); this is the
+    deterministic single-image serving path (BASELINE.json config 1).
+    Returns the same :class:`SampleOut` layout as :func:`random_sample`,
+    with ``action_probs`` = probability of the argmax action.
+    """
+    t = probs.shape[-2]
+    masked = probs.at[..., :grid.min_length, 0].set(0.0)
+    actions = jnp.argmax(masked, axis=-1)
+    action_probs = jnp.take_along_axis(probs, actions[..., None],
+                                       axis=-1)[..., 0]
+    durations = jnp.exp(mu)
+
+    is_stop = actions == 0
+    idx = jnp.arange(t)
+    stop_pos = jnp.where(is_stop & (idx >= 1), idx, t)
+    scanpath_length = jnp.min(stop_pos, axis=-1)
+
+    stopped_before = jnp.cumsum(is_stop, axis=-1) - is_stop > 0
+    fixating = (~is_stop) & (~stopped_before)
+    first_stop = is_stop & (~stopped_before)
+    action_mask = (fixating | first_stop).astype(jnp.float32)
+    duration_mask = fixating.astype(jnp.float32)
+
+    cell = jnp.maximum(actions - 1, 0)
+    px = (cell % grid.map_width) * grid.x_granularity + grid.x_granularity / 2
+    py = (cell // grid.map_width) * grid.y_granularity + grid.y_granularity / 2
+    fix = jnp.stack([px, py, durations], axis=-1) * duration_mask[..., None]
+    fix_len = jnp.sum(duration_mask, axis=-1).astype(jnp.int32)
+
+    return SampleOut(actions=actions.astype(jnp.int32),
+                     action_probs=action_probs, durations=durations,
+                     scanpath_length=scanpath_length, fix=fix,
+                     fix_len=fix_len, action_mask=action_mask,
+                     duration_mask=duration_mask)
+
+
 def to_fix_vectors(sample: SampleOut) -> list[np.ndarray]:
     """Host conversion: one structured fixation vector per batch element
     (the interchange format of the host metric suite)."""

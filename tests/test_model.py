@@ -145,3 +145,29 @@ def test_sampler_duration_quirk():
     logd = np.log(np.asarray(s.durations)).ravel()
     assert abs(logd.mean() - 0.5) < 0.05
     assert abs(logd.std() - 2.0) < 0.05
+
+
+def test_greedy_sample_deterministic():
+    from scanpaths_tpu.ops.sampling import greedy_sample
+
+    grid = GridSpec(map_width=MW, map_height=MH, width=W, height=H,
+                    max_length=T, min_length=2)
+    rng = np.random.default_rng(3)
+    probs = jax.nn.softmax(jnp.asarray(rng.normal(size=(N, T, A)),
+                                       jnp.float32), -1)
+    mu = jnp.asarray(rng.normal(size=(N, T)), jnp.float32)
+    sigma2 = jnp.ones((N, T), jnp.float32)
+    s1 = jax.jit(lambda p, m, s2: greedy_sample(p, m, s2, grid))(
+        probs, mu, sigma2)
+    s2_ = jax.jit(lambda p, m, s2: greedy_sample(p, m, s2, grid))(
+        probs, mu, sigma2)
+    np.testing.assert_array_equal(np.asarray(s1.actions),
+                                  np.asarray(s2_.actions))
+    # argmax of the STOP-masked distribution, STOP never in first 2 steps
+    masked = np.array(probs)    # writable copy
+    masked[:, :2, 0] = 0
+    np.testing.assert_array_equal(np.asarray(s1.actions),
+                                  masked.argmax(-1))
+    # durations are the LogNormal median exp(mu)
+    np.testing.assert_allclose(np.asarray(s1.durations),
+                               np.exp(np.asarray(mu)), rtol=1e-6)
