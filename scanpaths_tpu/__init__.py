@@ -10,7 +10,8 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
   core/     grid geometry, fixation structs, layered config
   data/     JSON fixation datasets -> packed device arrays
   models/   dilated ResNet-50 + ConvLSTM decoder as one lax.scan program
-  ops/      device sampler (batched stochastic decode)
+  ops/      device sampler (batched stochastic + greedy decode),
+            Pallas TPU NW-alignment kernel (pallas_nw)
   metrics/  ScanMatch / MultiMatch / SED / STDE — host oracles + batched JAX
             kernels + the evaluation sweeps and artifact dumpers
   train/    supervised + SCST steps (reward in-graph), pjit data parallel

@@ -154,14 +154,32 @@ def nw_scores(sub: jnp.ndarray,
     return jax.vmap(one)(seq_a, len_a, seq_b, len_b)
 
 
+def _pallas_nw_ok() -> bool:
+    from ..ops import pallas_nw
+    return pallas_nw.available()
+
+
 def scanmatch_scores(spec: ScanMatchSpec,
                      fix_a: jnp.ndarray, len_a: jnp.ndarray,
-                     fix_b: jnp.ndarray, len_b: jnp.ndarray) -> jnp.ndarray:
-    """End-to-end batched ScanMatch: quantize + align.  fix_*: [B, L, 3]."""
-    sub = sub_matrix(spec)
+                     fix_b: jnp.ndarray, len_b: jnp.ndarray,
+                     use_pallas: bool | None = None) -> jnp.ndarray:
+    """End-to-end batched ScanMatch: quantize + align.  fix_*: [B, L, 3].
+
+    On TPU the NW alignment runs as a single Pallas kernel
+    (ops/pallas_nw.py) — the ``lax.scan`` formulation pays per-row
+    while-loop overhead that dominates at ScanMatch table sizes; the
+    kernel is ~10-30x faster at RL-reward shapes (tools/bench_steps.py).
+    ``use_pallas=None`` auto-selects (TPU and the one-time probe passes).
+    """
     sa, na = quantize(spec, fix_a, len_a)
     sb, nb = quantize(spec, fix_b, len_b)
-    return nw_scores(sub, sa, na, sb, nb)
+    if use_pallas is None:
+        use_pallas = _pallas_nw_ok()
+    if use_pallas:
+        from ..ops.pallas_nw import nw_scores_bins
+        return nw_scores_bins(spec.threshold, spec.xbin, spec.ybin,
+                              sa, na, sb, nb)
+    return nw_scores(sub_matrix(spec), sa, na, sb, nb)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel for the batched Needleman-Wunsch ScanMatch score.
+
+The XLA formulation (metrics/jax_metrics.nw_scores) is a
+``lax.scan`` over DP rows whose per-step work is tiny, so on TPU it is
+dominated by per-iteration while-loop overhead (~40x off VPU
+speed-of-light at 512 pairs x 320^2 tables).  This kernel runs the
+whole DP for a tile of pairs inside ONE program: the row loop is a
+``fori_loop`` over VMEM-resident state, and the substitution scores are
+computed analytically per row — ScanMatch's substitution matrix is
+``threshold - ||bin_a - bin_b||`` (reference
+OSIE/utils/evaltools/scanmatch.py:88-103), so S[i, j] needs no gather,
+just the bin coordinates of both sequences.
+
+Semantics are bit-identical to ``nw_scores`` with gap value 0 (the only
+gap the framework uses): masked cells get -3.4e38, each row is
+``max(cummax(max(diag + s, up)), 0)``, the score is
+``maxF / (threshold * max(len_a, len_b))`` with nan when both lengths
+are zero.
+
+The RL step scores hundreds of (GT, rollout) pairs per update
+(train/steps.py), which is where this kernel earns its keep.  Measured
+on one v5e chip (tools/bench_steps.py, host-sync amortized over a
+20-step on-device chain): 512 pairs x 320^2 tables = 7.2 ms vs 10.8 ms
+for the XLA scan (1.5x), with max |pallas - xla| = 0.0 over the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -3.4e38  # python scalar: jnp constants would be captured consts
+
+
+def _shift_right(x: jnp.ndarray, k: int, fill, colj) -> jnp.ndarray:
+    """Shift along the lane (last) axis by k, filling the head.
+    ``pltpu.roll`` + head mask: a native lane rotate beats the
+    concatenate formulation (which lowers to VMEM copies)."""
+    y = pltpu.roll(x, k, axis=1)
+    return jnp.where(colj < k, fill, y)
+
+
+def _cummax_lanes(x: jnp.ndarray, colj) -> jnp.ndarray:
+    """Running max along the last axis via log2 shift-max rounds."""
+    k = 1
+    while k < x.shape[1]:
+        x = jnp.maximum(x, _shift_right(x, k, NEG, colj))
+        k *= 2
+    return x
+
+
+def _nw_kernel(bxa_ref, bya_ref, la_ref, bxb_ref, byb_ref, lb_ref,
+               out_ref, *, threshold: float):
+    bt, ta = bxa_ref.shape
+    tb = bxb_ref.shape[1]
+    la = la_ref[:]                                   # [bt, 1] int32
+    lb = lb_ref[:]
+    xa = bxa_ref[:]                                  # [bt, ta] f32
+    ya = bya_ref[:]
+    xb = bxb_ref[:]                                  # [bt, tb] f32
+    yb = byb_ref[:]
+    colj = jax.lax.broadcasted_iota(jnp.int32, (bt, tb), 1)
+    col_ok = colj < lb
+
+    def body(i, carry):
+        # the carry rolls A's coordinates one lane left per row so row
+        # i's value is always at lane 0 (a STATIC slice — Mosaic cannot
+        # dynamically slice the lane axis at arbitrary offsets)
+        prev, best, xa_r, ya_r = carry
+        ax = xa_r[:, 0:1]                            # [bt, 1]
+        ay = ya_r[:, 0:1]
+        row_ok = i < la                              # [bt, 1] bool
+        s = threshold - jnp.sqrt((ax - xb) ** 2 + (ay - yb) ** 2)
+        s = jnp.where(col_ok & row_ok, s, NEG)
+        diag = _shift_right(prev, 1, 0.0, colj)      # F[i-1, j-1]; F[.,0]=0
+        cand = jnp.maximum(diag + s, prev)
+        cur = jnp.maximum(_cummax_lanes(cand, colj), 0.0)
+        # elementwise running max; the lane reduction happens ONCE after
+        # the loop instead of per row
+        best = jnp.maximum(best, cur)
+        # left-rotate by 1 == right-rotate by ta-1 (roll wants shift>=0)
+        return (cur, best, pltpu.roll(xa_r, ta - 1, axis=1),
+                pltpu.roll(ya_r, ta - 1, axis=1))
+
+    prev0 = jnp.zeros((bt, tb), jnp.float32)
+    best0 = jnp.zeros((bt, tb), jnp.float32)
+    _, best, _, _ = jax.lax.fori_loop(0, ta, body, (prev0, best0, xa, ya))
+    best = jnp.max(best, axis=1, keepdims=True)
+
+    scale = threshold * jnp.maximum(la, lb).astype(jnp.float32)
+    out_ref[:] = jnp.where(scale > 0, best / scale, jnp.nan)
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   static_argnames=("interpret",))
+def nw_scores_bins(threshold: float, xbin: int, ybin: int,
+                   seq_a: jnp.ndarray, len_a: jnp.ndarray,
+                   seq_b: jnp.ndarray, len_b: jnp.ndarray,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Batched NW alignment scores from raster-ordered bin symbols.
+
+    seq_a: [B, Ta] int32, len_a: [B]; likewise seq_b.  Returns [B] f32,
+    identical to ``nw_scores(sub_matrix(spec), ...)``.
+    """
+    b = seq_a.shape[0]
+    bt = min(128, max(8, b))
+    del ybin  # bins are raster-ordered on xbin; ybin only bounds them
+
+    def coords(seq):
+        bx = (seq % xbin).astype(jnp.float32)
+        by = (seq // xbin).astype(jnp.float32)
+        return bx, by
+
+    bxa, bya = coords(seq_a)
+    bxb, byb = coords(seq_b)
+    bxa = _pad_to(_pad_to(bxa, 1, 128), 0, bt)
+    bya = _pad_to(_pad_to(bya, 1, 128), 0, bt)
+    bxb = _pad_to(_pad_to(bxb, 1, 128), 0, bt)
+    byb = _pad_to(_pad_to(byb, 1, 128), 0, bt)
+    la = _pad_to(len_a.astype(jnp.int32)[:, None], 0, bt)
+    lb = _pad_to(len_b.astype(jnp.int32)[:, None], 0, bt)
+
+    bp, ta = bxa.shape
+    tb = bxb.shape[1]
+    grid = (bp // bt,)
+    row_spec = lambda t: pl.BlockSpec((bt, t), lambda i: (i, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_nw_kernel, threshold=float(threshold)),
+        out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        grid=grid,
+        in_specs=[row_spec(ta), row_spec(ta), row_spec(1),
+                  row_spec(tb), row_spec(tb), row_spec(1)],
+        out_specs=row_spec(1),
+        interpret=interpret,
+    )(bxa, bya, la, bxb, byb, lb)
+    return out[:b, 0]
+
+
+@functools.lru_cache(maxsize=1)
+def available() -> bool:
+    """One-time probe: is the Pallas TPU path usable on this backend?
+    Retries once (remote-compile backends can flake transiently) and
+    logs the failure so a silent XLA fallback is still diagnosable."""
+    import sys
+
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    last = None
+    for _ in range(2):
+        try:
+            got = nw_scores_bins(
+                3.5, 4, 3,
+                jnp.asarray([[1, 2, 3, 0]], jnp.int32), jnp.asarray([3]),
+                jnp.asarray([[1, 2, 3, 0]], jnp.int32), jnp.asarray([3]))
+            if bool(np.isfinite(np.asarray(got)).all()):
+                return True
+        except Exception as e:  # noqa: BLE001
+            last = e
+    print(f"[pallas_nw] probe failed, using the XLA NW path: "
+          f"{type(last).__name__}: {last}", file=sys.stderr)
+    return False

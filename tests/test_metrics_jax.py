@@ -153,3 +153,28 @@ def test_expansion_overflow_flags(rng):
     flags = np.asarray(jm.expansion_overflow(
         spec, jnp.asarray(fix), jnp.asarray(lens)))
     assert flags.tolist() == [False, True]
+
+
+def test_pallas_nw_matches_xla(rng):
+    """The Pallas NW kernel (interpret mode on CPU) vs the XLA scan
+    formulation, including empty sequences and nan cases."""
+    from scanpaths_tpu.ops.pallas_nw import nw_scores_bins
+
+    for spec in (jm.ScanMatchSpec(temp_bin=0.0, max_symbols=L),
+                 jm.ScanMatchSpec(temp_bin=50.0, max_symbols=160)):
+        fa, la = random_batch(rng, 10, min_len=1)
+        fb, lb = random_batch(rng, 10, min_len=1)
+        la = la.copy()
+        la[0] = 0                       # empty A
+        lb[1] = 0                       # empty B
+        la[2] = 0                       # both empty -> nan
+        lb[2] = 0
+        sa, na = jm.quantize(spec, jnp.asarray(fa), jnp.asarray(la))
+        sb, nb = jm.quantize(spec, jnp.asarray(fb), jnp.asarray(lb))
+        want = np.asarray(jm.nw_scores(jm.sub_matrix(spec), sa, na, sb, nb))
+        got = np.asarray(nw_scores_bins(spec.threshold, spec.xbin,
+                                        spec.ybin, sa, na, sb, nb,
+                                        interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
+                                   err_msg=f"temp_bin={spec.temp_bin}")
+        assert np.isnan(got[2]) and np.isnan(want[2])

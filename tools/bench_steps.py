@@ -1,0 +1,185 @@
+"""Secondary benchmarks: train-step throughput and metric-kernel
+latency at realistic shapes on the current backend (run on the TPU).
+
+Usage: python tools/bench_steps.py [sup|rl|nw|all]
+Prints one JSON line per benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sp_bench_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    """Force REAL completion by materializing on the host:
+    jax.block_until_ready is not trustworthy on every experimental
+    platform (async dispatch can escape it), np.asarray is."""
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def _timed(fn, *args, iters=5, warmup=2):
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _sync(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_train_steps(which):
+    import types
+
+    from scanpaths_tpu.core.grid import GridSpec
+    from scanpaths_tpu.models.scanpath_model import create_model
+    from scanpaths_tpu.train import steps
+    from scanpaths_tpu.train.schedule import make_optimizer
+
+    dtype = jnp.bfloat16
+    model = create_model("osie", dtype=dtype)
+    args = types.SimpleNamespace(lr=1e-4, clip=12.5, weight_decay=5e-4,
+                                 warmup_epoch=1, start_rl_epoch=5, epoch=10,
+                                 rl_lr_initial_decay=0.5)
+    optimizer = make_optimizer(args, steps_sup=100, steps_rl=100)
+    rng = np.random.default_rng(0)
+
+    if which in ("sup", "all"):
+        n = int(os.environ.get("BENCH_SUP_BATCH", "16"))
+        images = jnp.asarray(rng.normal(size=(n, 240, 320, 3)), jnp.float32)
+        variables = jax.jit(lambda k: model.init(k, images, train=False))(
+            jax.random.PRNGKey(0))
+        state = steps.TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=optimizer.init(variables["params"]),
+            step=jnp.int32(0))
+        a = 30 * 40 + 1
+        scan = np.zeros((n, 16, a), np.float32)
+        scan[:, :, 1] = 1.0
+        batch = {"images": images, "scanpaths": jnp.asarray(scan),
+                 "durations": jnp.full((n, 16), 0.3, jnp.float32),
+                 "action_masks": jnp.ones((n, 16), jnp.float32),
+                 "duration_masks": jnp.ones((n, 16), jnp.float32)}
+        k_chain = 5
+
+        @jax.jit
+        def sup_many(s0, b):
+            def body(s, _):
+                s2, m = steps.supervised_step(model, optimizer, s, b,
+                                              lambda_1=1.0)
+                return s2, m["loss"]
+            _, losses = jax.lax.scan(body, s0, None, length=k_chain)
+            return losses[-1]
+
+        dt = _timed(sup_many, state, batch, iters=3) / k_chain
+        print(json.dumps({"metric": "supervised_step_images_per_sec",
+                          "value": round(n / dt, 2), "batch": n,
+                          "step_ms": round(dt * 1e3, 2)}))
+
+    if which in ("rl", "all"):
+        n, smax, glen, r = 4, 15, 24, 5
+        images = jnp.asarray(rng.normal(size=(n, 240, 320, 3)), jnp.float32)
+        variables = jax.jit(lambda k: model.init(k, images, train=False))(
+            jax.random.PRNGKey(0))
+        state = steps.TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=optimizer.init(variables["params"]),
+            step=jnp.int32(0))
+        grid = GridSpec()
+        cfg = steps.RLConfig(task="osie", grid=grid, rl_sample_number=r,
+                             max_symbols_wd=320, max_symbols_wod=glen)
+        gt_fix = np.zeros((n, smax, glen, 3), np.float32)
+        gt_fix[..., 0] = rng.uniform(0, 320, (n, smax, glen))
+        gt_fix[..., 1] = rng.uniform(0, 240, (n, smax, glen))
+        gt_fix[..., 2] = rng.uniform(0.1, 0.5, (n, smax, glen))
+        batch = {"images": images, "gt_fix": jnp.asarray(gt_fix),
+                 "gt_len": jnp.full((n, smax), glen, jnp.int32),
+                 "gt_mask": jnp.ones((n, smax), jnp.float32)}
+        key = jax.random.PRNGKey(1)
+        k_chain = 5
+
+        @jax.jit
+        def rl_many(s0, b):
+            def body(carry, i):
+                s, = carry
+                s2, m = steps.rl_step(model, optimizer, s, b,
+                                      jax.random.fold_in(key, i), cfg)
+                return (s2,), m["rl_loss"]
+            _, losses = jax.lax.scan(body, (s0,), jnp.arange(k_chain))
+            return losses[-1]
+
+        dt = _timed(rl_many, state, batch, iters=3) / k_chain
+        print(json.dumps({"metric": "rl_step_images_per_sec",
+                          "value": round(n / dt, 2), "batch": n,
+                          "rollouts": r, "subjects": smax,
+                          "step_ms": round(dt * 1e3, 2)}))
+
+
+def bench_nw(which):
+    if which not in ("nw", "all"):
+        return
+    from scanpaths_tpu.metrics import jax_metrics as jm
+
+    rng = np.random.default_rng(0)
+    b, l, msym = 512, 24, 320
+    spec = jm.ScanMatchSpec(temp_bin=50.0, max_symbols=msym)
+    fix = np.zeros((b, l, 3), np.float32)
+    fix[..., 0] = rng.uniform(0, 320, (b, l))
+    fix[..., 1] = rng.uniform(0, 240, (b, l))
+    fix[..., 2] = rng.uniform(0.1, 0.6, (b, l))
+    lens = rng.integers(5, l + 1, b).astype(np.int32)
+    fa, la = jnp.asarray(fix), jnp.asarray(lens)
+    fb = jnp.asarray(np.roll(fix, 1, axis=0))
+    lb = jnp.asarray(np.roll(lens, 1))
+    # the host<->device round trip costs ~30 ms on a tunneled backend,
+    # so chain K data-dependent evaluations inside ONE program and sync
+    # once — the per-iteration time is then pure kernel time
+    k_chain = 20
+    for use_pallas in (False, True):
+        if use_pallas:
+            from scanpaths_tpu.ops import pallas_nw
+            if not pallas_nw.available():
+                print(json.dumps({"metric": "nw_pallas", "skipped": True,
+                                  "reason": "pallas probe failed"}))
+                continue
+
+        @jax.jit
+        def many(fa, la, fb, lb, up=use_pallas):
+            def body(c, _):
+                s = jm.scanmatch_scores(spec, fa + c, la, fb, lb,
+                                        use_pallas=up)
+                return jnp.nan_to_num(s).sum() * 0.0, ()
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                length=k_chain)
+            return c
+
+        dt = _timed(many, fa, la, fb, lb, iters=3) / k_chain
+        print(json.dumps({
+            "metric": ("nw_scanmatch_pallas_pairs_per_sec" if use_pallas
+                       else "nw_scanmatch_xla_pairs_per_sec"),
+            "value": round(b / dt, 2), "pairs": b,
+            "table": msym, "ms": round(dt * 1e3, 3)}))
+        if use_pallas:
+            f = jax.jit(lambda *a: jm.scanmatch_scores(
+                spec, *a, use_pallas=True))
+            got = np.asarray(f(fa, la, fb, lb))
+            want = np.asarray(jax.jit(lambda *a: jm.scanmatch_scores(
+                spec, *a, use_pallas=False))(fa, la, fb, lb))
+            err = float(np.nanmax(np.abs(got - want)))
+            print(json.dumps({"metric": "nw_pallas_vs_xla_max_abs_err",
+                              "value": err}))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    bench_train_steps(which)
+    bench_nw(which)
