@@ -142,3 +142,54 @@ def test_resume_restores_optimizer_and_record(trained_run):
     best = trainer.fit()
     assert best == pytest.approx(
         trainer.checkpoint_manager.get_best_metric())
+
+
+def test_air_cli_end_to_end(synth_root, tmp_path):
+    """AiR single-task drive: dual-stream validation, performance-
+    bucketed metrics, qid-keyed prediction dumps (reference
+    AiR/train.py + AiR/test.py surface)."""
+    from scanpaths_tpu.cli import test as cli_test
+    from scanpaths_tpu.cli import train as cli_train
+
+    log_root = str(tmp_path / "air_logs")
+    argv = [
+        "--task", "air",
+        "--img_dir", join(synth_root, "air", "stimuli"),
+        "--fix_dir", join(synth_root, "air", "fixations"),
+        "--att_dir", join(synth_root, "air", "attention"),
+        "--log_root", log_root,
+        "--height", "40", "--width", "48",
+        "--map_height", "5", "--map_width", "6",
+        "--max_length", "4",
+        "--embed", "128", "--backbone_layers", "1,1,1,1",
+        "--batch", "8", "--rl_sample_number", "2",
+        "--eval_repeat_num", "1",
+        "--warmup_epoch", "1", "--start_rl_epoch", "1", "--epoch", "2",
+        "--mesh_size", "2",
+    ]
+    cli_train.main(argv)
+    runs = [d for d in os.listdir(log_root)
+            if not d.endswith("_supervised_save")]
+    log_dir = join(log_root, runs[0])
+
+    tags = set()
+    with open(join(log_dir, "scalars.jsonl")) as f:
+        for line in f:
+            tags.add(json.loads(line)["tag"])
+    # AiR validation buckets metrics by answer correctness (reference
+    # AiR/utils/evaluation.py:188-359)
+    assert any(t.startswith("metrics/right_answer-") for t in tags)
+    assert any(t.startswith("metrics/wrong_answer-") for t in tags)
+    assert "reward_same_hmean" in tags  # AiR RL same/diff-group rewards
+
+    metrics = cli_test.main(argv + ["--evaluation_dir", log_dir])
+    assert {"right_answer", "wrong_answer", "all"} <= set(metrics)
+    with open(join(log_dir, "test_predicts.json")) as f:
+        preds = json.load(f)
+    r = preds[0]
+    # AiR dump schema: img_names + qid + performance flag + repeat
+    # (reference AiR/test.py:153-191)
+    assert {"img_names", "qid", "performance", "repeat_id", "X", "Y", "T",
+            "length"} == set(r)
+    # both streams dumped for every image x repeat
+    assert sum(p["performance"] for p in preds) == len(preds) // 2

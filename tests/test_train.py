@@ -181,3 +181,86 @@ def test_rl_step_air():
     state1, metrics = rl(state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["rl_loss"]))
     assert np.isfinite(float(metrics["reward_same_hmean"]))
+
+
+def test_air_ablation_losses():
+    """The AiR paper-ablation extras (reference AiR/models/loss.py:75-171,
+    dead code in the reference drivers) — shape/semantics checks."""
+    rng = np.random.default_rng(5)
+    n, h, w, k, t = 3, 6, 8, 4, 5
+    sal = jnp.asarray(rng.uniform(0.1, 1, (n, h, w)), jnp.float32)
+    smap = jnp.asarray(rng.uniform(0.1, 1, (n, h, w)), jnp.float32)
+
+    good = jnp.asarray([[1, 1], [0, 0], [1, 0]], jnp.float32)
+    poor = jnp.asarray([[1, 0], [1, 1], [0, 0]], jnp.float32)
+    cc_vals, paired = losses.cc_terms(sal, smap, good, poor)
+    # only sample 0 has fixations in BOTH streams
+    np.testing.assert_array_equal(np.asarray(paired), [1, 0, 0])
+    assert float(jnp.abs(cc_vals[1])) == 0 and float(jnp.abs(cc_vals[2])) == 0
+    # self-CC of a map is ~1
+    self_cc, _ = losses.cc_terms(sal, sal, jnp.ones((n, 2)), jnp.ones((n, 2)))
+    np.testing.assert_allclose(np.asarray(self_cc), 1.0, atol=1e-4)
+
+    assert float(losses.cc_match_loss(jnp.ones(3), jnp.ones(3))) == 0.0
+    assert float(losses.cc_match_loss(jnp.ones(3), jnp.zeros(3))) == 1.0
+
+    ki = losses.kld_items(sal, smap)
+    assert ki.shape == (n,)
+    np.testing.assert_allclose(np.asarray(losses.kld_items(sal, sal)), 0.0,
+                               atol=1e-5)
+
+    qpos = jnp.asarray(rng.uniform(0, 1, (n, h, w, k)) > 0.7, jnp.float32)
+    qmask = jnp.asarray([[1, 1, 0, 0], [1, 0, 0, 0], [1, 1, 1, 0]],
+                        jnp.float32)
+    fpos = jnp.asarray(rng.uniform(0, 1, (n, h, w, k)) > 0.7, jnp.float32)
+    v = losses.kld_visual_linguistic_alignment(sal, qpos, qmask, fpos, qmask)
+    assert np.isfinite(float(v))
+
+    sal_t = jnp.asarray(rng.uniform(0.1, 1, (n, t, h, w)), jnp.float32)
+    dmask = jnp.asarray(rng.uniform(0, 1, (n, t)) > 0.3, jnp.float32)
+    dmask = dmask.at[:, 0].set(1.0)  # every sample has >=1 valid step
+    q = losses.kld_question_aligment(sal_t, qpos, qmask, dmask)
+    assert np.isfinite(float(q)) and float(q) >= 0
+    # perfectly matching step maps should beat random ones
+    obj0 = qpos[..., 0] / (qpos[..., 0].sum((1, 2), keepdims=True) + 1e-7)
+    sal_match = jnp.log(jnp.tile(obj0[:, None], (1, t, 1, 1)) + 1e-7)
+    q_match = losses.kld_question_aligment(
+        sal_match, qpos, jnp.ones((n, k)).at[:, 1:].set(0), dmask)
+    assert float(q_match) < float(q)
+
+
+def test_supervised_step_bf16():
+    """--half_precision path: bf16 compute, f32 params, finite loss and
+    updates."""
+    import types
+
+    model = create_model("osie", seq_len=T, map_h=MH, map_w=MW,
+                         embed=128, backbone_layers=(1, 1, 1, 1),
+                         dtype=jnp.bfloat16)
+    args = types.SimpleNamespace(lr=1e-3, clip=12.5, weight_decay=1e-4,
+                                 warmup_epoch=1, start_rl_epoch=5, epoch=10,
+                                 rl_lr_initial_decay=0.5)
+    optimizer = make_optimizer(args, steps_sup=4, steps_rl=4)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(N, H, W, 3)), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, images, train=False))(
+        jax.random.PRNGKey(0))
+    assert all(x.dtype == jnp.float32 for x in
+               jax.tree_util.tree_leaves(variables["params"]))
+    state = steps.TrainState(params=variables["params"],
+                             batch_stats=variables["batch_stats"],
+                             opt_state=optimizer.init(variables["params"]),
+                             step=jnp.int32(0))
+    scan = np.zeros((N, T, A), np.float32)
+    scan[:, :, 5] = 1.0
+    batch = {"images": images, "scanpaths": jnp.asarray(scan),
+             "durations": jnp.full((N, T), 0.3, jnp.float32),
+             "action_masks": jnp.ones((N, T), jnp.float32),
+             "duration_masks": jnp.ones((N, T), jnp.float32)}
+    step = jax.jit(lambda s, b: steps.supervised_step(model, optimizer, s, b,
+                                                      lambda_1=1.0))
+    st, m = step(state, batch)
+    st, m2 = step(st, batch)
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m2["loss"]))
+    assert all(x.dtype == jnp.float32 for x in
+               jax.tree_util.tree_leaves(st.params))
