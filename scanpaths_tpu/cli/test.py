@@ -36,6 +36,11 @@ def dump_record(img_name, fix_vector, trial, extra):
 
 def main(argv=None):
     args = parse_opt(argv)
+    assert args.task != "joint", (
+        "evaluate a joint run one task at a time: point "
+        "--evaluation_dir at the joint log dir and pass --task "
+        "osie|air|coco — the Evaluator detects the joint checkpoint "
+        "from the run's hparams.json and loads the matching head")
     np.random.seed(args.seed)
     from ..data.datasets import EvaluationDataset, Loader
     from ..metrics import evaluation as heval

@@ -178,7 +178,11 @@ class EvalCore:
 class Evaluator(EvalCore):
     """Inference-only driver for ``cli/test.py``: model + eval split +
     checkpoint restore, NO train loaders and NO optimizer (the reference
-    test drivers need only the eval split — AiR/test.py:60-104)."""
+    test drivers need only the eval split — AiR/test.py:60-104).
+
+    If the run directory's ``hparams.json`` says the checkpoint was
+    trained with ``--task joint``, the shared-trunk joint model is
+    rebuilt and evaluated through the requested task's head."""
 
     def __init__(self, args, log_dir: str):
         self.args = args
@@ -187,19 +191,47 @@ class Evaluator(EvalCore):
         self.log_dir = log_dir
         self.checkpoints_dir = join(log_dir, "checkpoints")
         self.logger = Logger(join(log_dir, "log_test.txt"))
-        self.model = build_model(args)
         self.mesh = make_mesh(args.mesh_size)
+
+        trained_task = args.task
+        hp_path = join(log_dir, "hparams.json")
+        if os.path.exists(hp_path):
+            with open(hp_path) as f:
+                trained_task = json.load(f).get("task", args.task)
+
         n = max(args.batch // 4, 1)
         dummy = jnp.zeros((n, args.height, args.width, 3), jnp.float32)
-        kw = {}
-        if self.task in ("air", "coco"):
-            kw["attention_maps"] = jnp.zeros(
-                (n, args.map_height, args.map_width, 1), jnp.float32)
-        if self.task == "coco":
-            kw["task_ids"] = jnp.zeros((n,), jnp.int32)
-        variables = jax.jit(
-            lambda k: self.model.init(k, dummy, train=False, **kw)
-        )(jax.random.PRNGKey(args.seed))
+        if trained_task == "joint":
+            from ..models.scanpath_model import (JointScanpathModel,
+                                                 TaskView)
+            layers = tuple(int(x)
+                           for x in str(args.backbone_layers).split(","))
+            net = JointScanpathModel(
+                seq_len=args.max_length, map_h=args.map_height,
+                map_w=args.map_width, embed=args.embed,
+                backbone_layers=layers,
+                dtype=jnp.bfloat16 if args.half_precision
+                else jnp.float32)
+            att = jnp.zeros((n, args.map_height, args.map_width, 1),
+                            jnp.float32)
+            tids = jnp.zeros((n,), jnp.int32)
+            variables = jax.jit(lambda k: net.init(
+                k, dummy, att, tids, method="init_all"))(
+                jax.random.PRNGKey(args.seed))
+            self.model = TaskView(net, self.task)
+            self.logger.info("Evaluating the %s head of a joint "
+                             "checkpoint", self.task)
+        else:
+            self.model = build_model(args)
+            kw = {}
+            if self.task in ("air", "coco"):
+                kw["attention_maps"] = jnp.zeros(
+                    (n, args.map_height, args.map_width, 1), jnp.float32)
+            if self.task == "coco":
+                kw["task_ids"] = jnp.zeros((n,), jnp.int32)
+            variables = jax.jit(
+                lambda k: self.model.init(k, dummy, train=False, **kw)
+            )(jax.random.PRNGKey(args.seed))
         self.state = TrainState(
             params=variables["params"],
             batch_stats=variables["batch_stats"],

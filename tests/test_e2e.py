@@ -32,7 +32,7 @@ def _argv(synth_root, log_root, extra=()):
         "--batch", "4", "--rl_sample_number", "2",
         "--eval_repeat_num", "2",
         "--warmup_epoch", "1", "--start_rl_epoch", "1",
-        "--mesh_size", "2",
+        "--mesh_size", "1",
         *extra,
     ]
 
@@ -165,7 +165,7 @@ def test_air_cli_end_to_end(synth_root, tmp_path):
         "--batch", "8", "--rl_sample_number", "2",
         "--eval_repeat_num", "1",
         "--warmup_epoch", "1", "--start_rl_epoch", "1", "--epoch", "2",
-        "--mesh_size", "2",
+        "--mesh_size", "1",
     ]
     cli_train.main(argv)
     runs = [d for d in os.listdir(log_root)

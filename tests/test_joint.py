@@ -15,7 +15,12 @@ import jax
 def synth_root(tmp_path_factory):
     from tools.make_synth_data import make_all
     root = tmp_path_factory.mktemp("joint_data")
-    make_all(str(root))
+    # minimal sizes: the joint drive costs 3 tasks x (steps + host
+    # validation) on a 1-core box
+    make_all(str(root),
+             osie=dict(n_images=3, n_subjects=3),
+             air=dict(n_questions=3, n_subjects=3),
+             coco=dict(n_images=3, n_subjects=3))
     return str(root)
 
 
@@ -100,7 +105,7 @@ def test_joint_cli_end_to_end(synth_root, tmp_path):
         "--batch", "8", "--rl_sample_number", "2",
         "--eval_repeat_num", "1",
         "--warmup_epoch", "1", "--start_rl_epoch", "1", "--epoch", "2",
-        "--mesh_size", "2",
+        "--mesh_size", "1",
     ])
     runs = [d for d in os.listdir(log_root)
             if not d.endswith("_supervised_save")]
@@ -111,10 +116,10 @@ def test_joint_cli_end_to_end(synth_root, tmp_path):
 
     with open(join(log_dir, "history_record.json")) as f:
         rec = json.load(f)
-    # sup: osie 24//8=3 + air 24//8=3 + coco 18//8=2 = 8 steps;
-    # rl (batch 8//4=2): 6//2=3 per task = 9 steps; 0-indexed from -1
+    # sup: 9 records per task // batch 8 = 1 step x3; rl (batch 8//4=2):
+    # 3 groups // 2 = 1 step x3; 0-indexed from the reference's -1
     assert rec["epoch"] == 1
-    assert rec["iteration"] == 16
+    assert rec["iteration"] == 5
     assert rec["best_metric"] > 0
 
     tags = set()
@@ -127,3 +132,20 @@ def test_joint_cli_end_to_end(synth_root, tmp_path):
         assert any(tag.startswith(f"{t}/metrics/") for tag in tags)
     assert "osie/metrics_for_reward/vector" in tags
     assert "current metric" in tags
+
+    # a joint checkpoint is evaluated per task: the Evaluator detects
+    # task=joint in the run's hparams.json and loads the osie head
+    from scanpaths_tpu.cli import test as cli_test
+    metrics = cli_test.main([
+        "--task", "osie",
+        "--img_dir", join(synth_root, "osie", "stimuli"),
+        "--fix_dir", join(synth_root, "osie", "fixations"),
+        "--evaluation_dir", log_dir,
+        "--height", "40", "--width", "48",
+        "--map_height", "5", "--map_width", "6",
+        "--max_length", "4",
+        "--embed", "128", "--backbone_layers", "1,1,1,1",
+        "--batch", "8", "--eval_repeat_num", "1", "--mesh_size", "1",
+    ])
+    assert set(metrics["ScanMatch"]) == {"w/o duration", "with duration"}
+    assert exists(join(log_dir, "test_predicts.json"))

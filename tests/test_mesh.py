@@ -18,7 +18,7 @@ from scanpaths_tpu.train.mesh import (batch_sharding, make_mesh, replicated,
                                       shard_batch)
 from scanpaths_tpu.train.schedule import make_optimizer
 
-MH, MW, T = 10, 12, 4
+MH, MW, T = 5, 6, 3
 H, W = 8 * MH, 8 * MW
 A = MH * MW + 1
 N = 8  # one sample per device on the 8-way mesh
