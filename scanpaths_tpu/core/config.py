@@ -145,6 +145,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 compute dtype for the model (params stay "
                         "f32); the TPU MXU path")
     p.add_argument("--cache_images", type=str2bool, default=True)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="device batches to stage ahead of the training "
+                        "loop (0 = synchronous)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="if set, capture a jax.profiler trace of a few "
                         "training steps into this directory")

@@ -45,6 +45,7 @@ import scipy.stats
 
 from ..data.datasets import DataConfig, EvaluationDataset, Loader, \
     SupervisedDataset
+from ..data.prefetch import prefetch
 from ..metrics import evaluation as heval
 from ..models.scanpath_model import JointScanpathModel, TaskView
 from ..ops.sampling import random_sample, to_fix_vectors
@@ -277,9 +278,12 @@ class JointTrainer:
         rl = epoch >= args.start_rl_epoch
         loaders = {t: (self.tasks[t].train_rl_loader if rl
                        else self.tasks[t].train_loader) for t in TASKS}
-        for task, batch in self._round_robin(loaders):
+        staged = prefetch(
+            self._round_robin(loaders),
+            lambda tb: (tb[0], self._device_batch(tb[1], for_rl=rl)),
+            depth=getattr(args, "prefetch", 2))
+        for task, db in staged:
             ctx = self.tasks[task]
-            db = self._device_batch(batch, for_rl=rl)
             if rl:
                 self.key, sub = jax.random.split(self.key)
                 self.state, metrics = ctx.rl_step(self.state, db, sub)

@@ -33,6 +33,7 @@ import scipy.stats
 from ..core.grid import GridSpec
 from ..data.datasets import (DataConfig, EvaluationDataset, Loader,
                              SupervisedDataset)
+from ..data.prefetch import prefetch
 from ..metrics import evaluation as heval
 from ..models.scanpath_model import create_model
 from ..ops.sampling import random_sample, to_fix_vectors
@@ -419,9 +420,11 @@ class Trainer(EvalCore):
         import time as _time
         t0 = _time.perf_counter()
         n_steps0 = iteration
+        depth = getattr(args, "prefetch", 2)
         if epoch < args.start_rl_epoch:
-            for batch in self.train_loader:
-                db = self._device_batch(batch, for_rl=False)
+            for db in prefetch(self.train_loader,
+                               lambda b: self._device_batch(b, for_rl=False),
+                               depth=depth):
                 self.state, metrics = self._sup_step(self.state, db)
                 iteration += 1
                 self._maybe_profile(iteration)
@@ -436,8 +439,9 @@ class Trainer(EvalCore):
                     args.lr * float(self.lr_fn(iteration)), iteration)
             images_per_step = args.batch
         else:
-            for batch in self.train_rl_loader:
-                db = self._device_batch(batch, for_rl=True)
+            for db in prefetch(self.train_rl_loader,
+                               lambda b: self._device_batch(b, for_rl=True),
+                               depth=depth):
                 self.key, sub = jax.random.split(self.key)
                 self.state, metrics = self._rl_step(self.state, db, sub)
                 iteration += 1

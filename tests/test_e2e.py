@@ -193,3 +193,47 @@ def test_air_cli_end_to_end(synth_root, tmp_path):
             "length"} == set(r)
     # both streams dumped for every image x repeat
     assert sum(p["performance"] for p in preds) == len(preds) // 2
+
+
+def test_coco_cli_end_to_end(synth_root, tmp_path):
+    """COCO single-task drive: detector-bbox attention + 18-category
+    conditioning, task-keyed dumps, and the COCO-specific
+    validation_predicts.json artifact name (reference
+    COCO_Search18/test.py:67-68)."""
+    from scanpaths_tpu.cli import test as cli_test
+    from scanpaths_tpu.cli import train as cli_train
+
+    log_root = str(tmp_path / "coco_logs")
+    argv = [
+        "--task", "coco",
+        "--img_dir", join(synth_root, "coco", "images"),
+        "--fix_dir", join(synth_root, "coco", "fixations"),
+        "--detector_dir", join(synth_root, "coco", "detectors"),
+        "--log_root", log_root,
+        "--height", "40", "--width", "48",
+        "--map_height", "5", "--map_width", "6",
+        "--max_length", "4",
+        "--embed", "128", "--backbone_layers", "1,1,1,1",
+        "--batch", "8", "--rl_sample_number", "2",
+        "--eval_repeat_num", "1",
+        "--warmup_epoch", "1", "--start_rl_epoch", "1", "--epoch", "2",
+        "--mesh_size", "1",
+    ]
+    cli_train.main(argv)
+    runs = [d for d in os.listdir(log_root)
+            if not d.endswith("_supervised_save")]
+    log_dir = join(log_root, runs[0])
+
+    metrics = cli_test.main(argv + ["--evaluation_dir", log_dir])
+    assert set(metrics) >= {"MultiMatch", "ScanMatch", "VAME"}
+    # COCO has no public test split: the reference evaluates validation
+    # and writes validation_predicts.json
+    assert exists(join(log_dir, "validation_predicts.json"))
+    assert not exists(join(log_dir, "test_predicts.json"))
+    with open(join(log_dir, "validation_predicts.json")) as f:
+        preds = json.load(f)
+    r = preds[0]
+    assert {"img_names", "task", "repeat_id", "X", "Y", "T",
+            "length"} == set(r)
+    from scanpaths_tpu.data.datasets import COCO_OBJECT_NAMES
+    assert all(p["task"] in COCO_OBJECT_NAMES for p in preds)
