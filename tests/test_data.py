@@ -140,3 +140,26 @@ def test_loader_shuffle_deterministic(synth_root):
     # next epoch reshuffles
     b1b = next(iter(l1))
     assert not np.array_equal(b1["images"], b1b["images"])
+
+
+def test_ablate_attention_info_zeroes_maps(synth_root):
+    """--ablate_attention_info must zero the conditioning maps before
+    they reach the model (reference AiR/train.py:185-186)."""
+    import types
+
+    from scanpaths_tpu.train.trainer import EvalCore
+
+    core = EvalCore.__new__(EvalCore)
+    core.args = types.SimpleNamespace(ablate_attention_info=True)
+    from scanpaths_tpu.train.mesh import make_mesh
+    core.mesh = make_mesh(1)
+    batch = {"images": np.ones((2, 8, 8, 3), np.float32),
+             "attention_maps": np.ones((2, 5, 6, 1), np.float32),
+             "gt_fix": np.ones((2, 3, 4, 3), np.float32),
+             "gt_len": np.ones((2, 3), np.int32),
+             "gt_mask": np.ones((2, 3), np.float32)}
+    db = core._device_batch(batch, for_rl=True)
+    assert float(np.asarray(db["attention_maps"]).sum()) == 0.0
+    core.args.ablate_attention_info = False
+    db2 = core._device_batch(batch, for_rl=True)
+    assert float(np.asarray(db2["attention_maps"]).sum()) > 0

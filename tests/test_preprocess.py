@@ -159,3 +159,23 @@ def test_preprocess_air(tmp_path):
     assert r["objects"] == graphs[r["imageId"]]["objects"]
     # T_end > T_start elementwise
     assert all(e > s for s, e in zip(r["T_start"], r["T_end"]))
+
+
+def test_preprocess_cli(tmp_path):
+    """The preprocess CLI drives the OSIE path end-to-end."""
+    rng = np.random.default_rng(2)
+    names = [f"{3000 + i}.jpg" for i in range(9)] + [OSIE_TEST_IMAGES[0]]
+    fx = np.zeros((len(names), 1), dtype=object)
+    for i, name in enumerate(names):
+        l = int(rng.integers(2, 5))
+        fx[i, 0] = _example(name, [_track(rng.uniform(0, 800, l),
+                                          rng.uniform(0, 600, l),
+                                          rng.uniform(100, 400, l))])
+    mat = tmp_path / "fixations.mat"
+    sio.savemat(str(mat), {"fixations": fx})
+
+    from scanpaths_tpu.cli.preprocess import main
+    out = tmp_path / "out"
+    main(["osie", "--fixations_mat", str(mat), "--out_dir", str(out)])
+    for split in ("train", "validation", "test"):
+        assert (out / f"osie_fixations_{split}.json").exists()
