@@ -71,7 +71,9 @@ def nss(saliency, fixation):
     s = saliency.reshape(saliency.shape[0], -1)
     f = fixation.reshape(fixation.shape[0], -1)
     s = s / (s.max(-1, keepdims=True) + EPSILON)
-    s = (s - s.mean(-1, keepdims=True)) / (s.std(-1, keepdims=True) + EPSILON)
+    # torch .std() is unbiased (ddof=1) — reference loss.py:52
+    s = (s - s.mean(-1, keepdims=True)) \
+        / (s.std(-1, keepdims=True, ddof=1) + EPSILON)
     return ((s * f).sum(-1) / (f.sum(-1) + EPSILON)).mean()
 
 
