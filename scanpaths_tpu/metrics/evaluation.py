@@ -73,18 +73,31 @@ def _suite_dict(mean9, sed_best, stde_best):
     }
 
 
-def _summarize(rows: np.ndarray, group_sizes: list[int]):
-    """rows: [P, 9] pairwise metrics; group_sizes: pairs per image group.
-    Returns (metrics dict, std dict) with per-group SED_best/STDE_best."""
-    valid = rows[~np.isnan(rows.sum(axis=1))]
-    mean9 = valid.mean(0)
-    std9 = valid.std(0)
+def _summarize(rows: np.ndarray, group_sizes: list[int],
+               mm_dropna: bool = True):
+    """rows: [P, 9] pairwise metrics; group_sizes: pairs per best-group.
+    Returns (metrics dict, std dict) with per-group SED_best/STDE_best.
+
+    Reference semantics (OSIE/utils/evaluation.py:57-95,207-237): ONLY
+    the MultiMatch mean/std drops NaN rows, and ONLY in ``evaluation``
+    — ``human_evaluation`` does not filter at all, so a single
+    <3-fixation subject makes the printed human MultiMatch baseline NaN
+    (a reference quirk, reproduced with ``mm_dropna=False``).
+    ScanMatch/SED/STDE means and the per-group bests use EVERY pair.
+    (The AiR-bucketed callers pre-filter NaN pairs before reaching
+    here, matching the AiR reference's earlier skip.)"""
+    mm_ok = rows[~np.isnan(rows[:, :5].sum(axis=1))] if mm_dropna else rows
+    mean9 = np.concatenate([mm_ok[:, :5].mean(0), rows[:, 5:].mean(0)]) \
+        if len(mm_ok) else np.concatenate([np.full(5, np.nan),
+                                           rows[:, 5:].mean(0)])
+    std9 = np.concatenate([mm_ok[:, :5].std(0), rows[:, 5:].std(0)]) \
+        if len(mm_ok) else np.concatenate([np.full(5, np.nan),
+                                           rows[:, 5:].std(0)])
     sed_best, stde_best = [], []
     start = 0
     for g in group_sizes:
         chunk = rows[start:start + g]
         start += g
-        chunk = chunk[~np.isnan(chunk.sum(axis=1))]
         if len(chunk):
             sed_best.append(chunk[:, 7].min())
             stde_best.append(chunk[:, 8].max())
@@ -107,9 +120,12 @@ def human_evaluation(loader, task: str = "osie"):
     per_image = {}
     for batch in loader:
         for bi, fix_vectors in enumerate(batch["fix_vectors"]):
-            g = 0
             img_scores = []
             for i in range(len(fix_vectors)):
+                # the reference's best-groups are the leave-one-out
+                # blocks per REFERENCE SUBJECT, not per image
+                # (reshape(-1, len(fix_vectors)-1), evaluation.py:86-95)
+                g = 0
                 for j in range(len(fix_vectors)):
                     if i == j:
                         continue
@@ -118,10 +134,11 @@ def human_evaluation(loader, task: str = "osie"):
                     rows.append(r)
                     img_scores.append(r)
                     g += 1
-            group_sizes.append(g)
+                group_sizes.append(g)
             per_image[batch["img_names"][bi]] = list(
-                np.nanmean(np.asarray(img_scores, np.float64), axis=0))
-    metrics, stds = _summarize(np.asarray(rows, np.float64), group_sizes)
+                np.asarray(img_scores, np.float64).mean(axis=0))
+    metrics, stds = _summarize(np.asarray(rows, np.float64), group_sizes,
+                               mm_dropna=False)
     return metrics, stds, per_image
 
 
@@ -141,8 +158,8 @@ def evaluation(gt_fix_vectors, predict_fix_vectors):
             img_scores.append(r)
             g += 1
         group_sizes.append(g)
-        per_image.append(list(np.nanmean(np.asarray(img_scores, np.float64),
-                                         axis=0)))
+        per_image.append(list(np.asarray(img_scores, np.float64)
+                              .mean(axis=0)))
     metrics, stds = _summarize(np.asarray(rows, np.float64), group_sizes)
     return metrics, stds, per_image
 
