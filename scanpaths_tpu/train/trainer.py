@@ -419,6 +419,7 @@ class Trainer(EvalCore):
         args = self.args
         import time as _time
         t0 = _time.perf_counter()
+        t_first = None  # reset after step 1 so compile time is excluded
         n_steps0 = iteration
         depth = getattr(args, "prefetch", 2)
         if epoch < args.start_rl_epoch:
@@ -437,6 +438,8 @@ class Trainer(EvalCore):
                 self.writer.add_scalar(
                     "learning_rate",
                     args.lr * float(self.lr_fn(iteration)), iteration)
+                if t_first is None:
+                    t_first = _time.perf_counter()
             images_per_step = args.batch
         else:
             for db in prefetch(self.train_rl_loader,
@@ -451,18 +454,29 @@ class Trainer(EvalCore):
                 self.writer.add_scalar(
                     "learning_rate",
                     args.lr * float(self.lr_fn(iteration)), iteration)
+                if t_first is None:
+                    t_first = _time.perf_counter()
             images_per_step = max(args.batch // 4, 1)
         jax.block_until_ready(self.state.step)
-        dt = _time.perf_counter() - t0
+        t_end = _time.perf_counter()
+        dt = t_end - t0
         n = iteration - n_steps0
-        if n > 0 and dt > 0:
-            self.writer.add_scalar("perf/steps_per_sec", n / dt, iteration)
+        # steady-state rate excludes the first (compiling) step when
+        # more than one step ran
+        if n > 1 and t_first is not None and t_end > t_first:
+            rate = (n - 1) / (t_end - t_first)
+        elif n > 0 and dt > 0:
+            rate = n / dt
+        else:
+            rate = 0.0
+        if rate > 0:
+            self.writer.add_scalar("perf/steps_per_sec", rate, iteration)
             self.writer.add_scalar("perf/images_per_sec",
-                                   n * images_per_step / dt, iteration)
+                                   rate * images_per_step, iteration)
             self.logger.info(
                 f"epoch {epoch}: {n} steps in {dt:.1f}s "
-                f"({n / dt:.2f} steps/s, "
-                f"{n * images_per_step / dt:.1f} images/s)")
+                f"({rate:.2f} steps/s steady, "
+                f"{rate * images_per_step:.1f} images/s)")
         return iteration
 
     # ------------------------------------------------------------------
