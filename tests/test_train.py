@@ -264,3 +264,26 @@ def test_supervised_step_bf16():
     assert np.isfinite(float(m["loss"])) and np.isfinite(float(m2["loss"]))
     assert all(x.dtype == jnp.float32 for x in
                jax.tree_util.tree_leaves(st.params))
+
+
+def test_profiler_hook(tmp_path):
+    """--profile_dir captures a jax.profiler trace of steps 3..8
+    (SURVEY §5 tracing note)."""
+    import os
+    import types
+
+    from scanpaths_tpu.train.trainer import Trainer
+
+    stub = types.SimpleNamespace(
+        args=types.SimpleNamespace(profile_dir=str(tmp_path / "prof")),
+        logger=types.SimpleNamespace(info=lambda *a, **k: None),
+        _profiling=False)
+    for it in range(1, 10):
+        Trainer._maybe_profile(stub, it)
+        # run a tiny computation inside the traced window
+        jnp.ones((4,)).sum().block_until_ready()
+    assert not stub._profiling          # stopped at iteration >= 8
+    trace_files = []
+    for root, _, files in os.walk(tmp_path / "prof"):
+        trace_files.extend(files)
+    assert trace_files, "no trace artifacts written"
