@@ -1,0 +1,160 @@
+"""Serving entry point: predict scanpaths for arbitrary image files
+from a trained run directory.
+
+The reference has no standalone inference path — its test drivers
+require a full dataset split on disk (reference AiR/test.py:60-104).
+This CLI serves any images (BASELINE.json config 1: deterministic
+greedy decode of a single image on CPU; also batched stochastic
+sampling on TPU):
+
+    python -m scanpaths_tpu.cli.predict --task osie \
+        --evaluation_dir assets/log_... \
+        --predict_images img1.jpg,img2.jpg [--decode sample \
+        --num_samples 10] [--predict_out scanpaths.json]
+
+Conditioning inputs: AiR/COCO checkpoints take an optional machine-
+attention map per image (``--predict_att`` .npy files; zeros when
+omitted, the ``--ablate_attention_info`` regime); COCO additionally
+takes the search-target category name(s) via ``--target_category``.
+
+Output records use the reference prediction schema
+(AiR/test.py:153-191): X/Y in pixel coordinates of the model grid
+geometry (default 320x240), T in milliseconds, one record per
+(image, sample).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..core.config import parse_opt
+
+
+def _expand_images(spec: str) -> list[str]:
+    if os.path.isdir(spec):
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        return sorted(
+            os.path.join(spec, f) for f in os.listdir(spec)
+            if f.lower().endswith(exts))
+    return [p for p in spec.split(",") if p]
+
+
+def _records(img_names, samples, trial0: int = 0):
+    """SampleOut with leading [R, N] -> reference-schema records."""
+    fix = np.asarray(samples.fix)
+    lens = np.asarray(samples.fix_len)
+    recs = []
+    for r in range(fix.shape[0]):
+        for i, name in enumerate(img_names):
+            l = int(lens[r, i])
+            recs.append({
+                "name": name,
+                "repeat_id": trial0 + r + 1,
+                "X": [float(v) for v in fix[r, i, :l, 0]],
+                "Y": [float(v) for v in fix[r, i, :l, 1]],
+                "T": [float(v * 1000) for v in fix[r, i, :l, 2]],
+                "length": l,
+            })
+    return recs
+
+
+def main(argv=None):
+    args = parse_opt(argv)
+    assert args.task != "joint", (
+        "serve a joint checkpoint one task at a time: pass --task "
+        "osie|air|coco with --evaluation_dir pointing at the joint run "
+        "(the Evaluator detects the joint checkpoint from hparams.json)")
+    assert args.evaluation_dir, "--evaluation_dir (trained run dir) required"
+    paths = _expand_images(args.predict_images)
+    assert paths, "--predict_images gave no image files"
+
+    import jax
+
+    from ..data.datasets import COCO_OBJECT_NAMES
+    from ..data.transforms import load_image, resize_map
+    from ..ops.sampling import greedy_sample
+    from ..train.trainer import Evaluator
+
+    evaluator = Evaluator(args, args.evaluation_dir)
+    evaluator.load_best()
+    evaluator.key = jax.random.PRNGKey(args.seed)
+
+    att_paths = [p for p in args.predict_att.split(",") if p]
+    if att_paths:
+        assert len(att_paths) == len(paths), (
+            f"{len(att_paths)} attention maps for {len(paths)} images")
+    cats = [c for c in args.target_category.split(",") if c]
+    if args.task == "coco":
+        assert cats, "--target_category required for a coco checkpoint"
+        if len(cats) == 1:
+            cats = cats * len(paths)
+        assert len(cats) == len(paths)
+        task_ids = np.asarray([COCO_OBJECT_NAMES.index(c) for c in cats],
+                              np.int32)
+
+    greedy_jit = jax.jit(functools.partial(greedy_sample,
+                                           grid=evaluator.grid))
+
+    mh, mw = args.map_height, args.map_width
+    records = []
+    bs = max(args.batch, 1)
+    for lo in range(0, len(paths), bs):
+        chunk = paths[lo:lo + bs]
+        # pad the tail chunk to the full batch so the jitted forward
+        # compiles for ONE shape
+        n_real = len(chunk)
+        pad = bs - n_real
+        images = np.stack(
+            [load_image(p, args.height, args.width) for p in chunk]
+            + [np.zeros((args.height, args.width, 3), np.float32)] * pad)
+        batch = {"images": images}
+        if args.task in ("air", "coco"):
+            amaps = np.zeros((bs, mh, mw), np.float32)
+            for i, ap in enumerate(att_paths[lo:lo + bs]):
+                m = np.load(ap).astype(np.float32)
+                m = resize_map(m, (mh, mw))
+                amaps[i] = m / max(float(m.max()), 1e-12)
+            batch["attention_maps"] = amaps[..., None]
+        if args.task == "coco":
+            tids = np.zeros((bs,), np.int32)
+            tids[:n_real] = task_ids[lo:lo + n_real]
+            batch["tasks"] = tids
+
+        db = evaluator._device_batch(batch, for_rl=True)
+        out = evaluator._eval_forward(evaluator.state.params,
+                                      evaluator.state.batch_stats, db)
+        # an AiR checkpoint serves its correct-answer stream
+        prefix = "good_" if args.task == "air" else ""
+        probs = out[f"{prefix}all_actions_prob"]
+        mu = out[f"{prefix}log_normal_mu"]
+        sigma2 = out[f"{prefix}log_normal_sigma2"]
+
+        names = [os.path.basename(p) for p in chunk]
+        if args.decode == "greedy":
+            samples = jax.tree.map(lambda x: x[None],
+                                   greedy_jit(probs, mu, sigma2))
+            records.extend(_records(names, jax.tree.map(
+                lambda x: x[:, :n_real], samples)))
+        else:
+            evaluator.key, sub = jax.random.split(evaluator.key)
+            samples = evaluator._sampler(sub, probs, mu, sigma2,
+                                         args.num_samples)
+            records.extend(_records(names, jax.tree.map(
+                lambda x: x[:, :n_real], samples)))
+
+    payload = json.dumps(records, indent=2)
+    if args.predict_out:
+        with open(args.predict_out, "w") as f:
+            f.write(payload)
+    else:
+        sys.stdout.write(payload + "\n")
+    return records
+
+
+if __name__ == "__main__":
+    main()

@@ -157,6 +157,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="blocks per ResNet stage; 3,4,6,3 = ResNet-50 "
                         "(smaller values give thin models for smoke "
                         "drives)")
+    # serving (cli/predict.py — new in this framework; the reference
+    # has no inference-on-arbitrary-images path)
+    p.add_argument("--predict_images", type=str, default="",
+                   help="comma-separated image files, or one directory, "
+                        "to predict scanpaths for")
+    p.add_argument("--decode", type=str, default="greedy",
+                   choices=("greedy", "sample"),
+                   help="deterministic argmax decode or stochastic "
+                        "sampling")
+    p.add_argument("--num_samples", type=int, default=1,
+                   help="scanpaths per image in --decode sample mode")
+    p.add_argument("--predict_att", type=str, default="",
+                   help="comma-separated .npy attention maps aligned "
+                        "with --predict_images (air/coco; zeros when "
+                        "omitted)")
+    p.add_argument("--target_category", type=str, default="",
+                   help="COCO search target category name (one for all "
+                        "images, or comma-separated per image)")
+    p.add_argument("--predict_out", type=str, default="",
+                   help="output JSON path ('' = stdout)")
     # config files
     p.add_argument("--cfg", type=str, default=None)
     p.add_argument("--set_cfgs", dest="set_cfgs", default=[], nargs="+")
