@@ -91,8 +91,13 @@ def model_flops_per_image(h: int = 240, w: int = 320, t: int = 16,
     total += conv_flops(fhw, 3, 2048, embed)       # sal_conv
     total += conv_flops(fhw, 3, embed, 4 * embed)  # xgates
     # --- decoder, per step ---
+    # gates_s0 runs FACTORIZED over the rank-1 signal (SignalGates):
+    # kernel (x) semantic contraction + scalar-map correlation instead
+    # of a dense 3x3 conv over the materialized outer product
+    gates_s = (2.0 * 9 * embed * 3 * embed          # kp = K (x) cv
+               + 2.0 * fhw * 9 * 3 * embed)         # patches @ kp
     per_step = (conv_flops(fhw, 3, embed, 4 * embed)   # gates_h
-                + conv_flops(fhw, 3, embed, 3 * embed)  # gates_s0
+                + gates_s
                 + conv_flops(fhw, 5, embed, embed)      # conditioner
                 + conv_flops(fhw, 1, embed, 2)          # head 1x1s
                 + conv_flops((fh // 5) * (fw // 5), 7, embed, 1))  # drt

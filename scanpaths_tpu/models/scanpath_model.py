@@ -145,9 +145,11 @@ class ScanpathModel(nn.Module):
         signals = []
         for stream in carry["streams"]:
             smem, cmem = self._attend(stream, valid)
-            ss = smem.reshape(n, self.map_h, self.map_w, 1) \
-                * cmem[:, None, None, :]
-            signals.append(ss)
+            # the task signal is the OUTER PRODUCT spatial (x) semantic
+            # (reference baseline_attention.py:40-41); it is passed
+            # unmaterialized so the gate conv can run factorized
+            # (components.SignalGates)
+            signals.append((smem.reshape(n, self.map_h, self.map_w), cmem))
 
         h, c = self.lstm(carry["xg"], carry["h"], carry["c"], signals)
         feats = self.conditioner(h, carry.get("task_ids"))

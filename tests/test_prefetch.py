@@ -1,7 +1,7 @@
 """Host->device prefetch pipeline: ordering, exception propagation,
 and overlap."""
 
-import time
+import threading
 
 import numpy as np
 import pytest
@@ -32,17 +32,24 @@ def test_prefetch_propagates_producer_errors():
 
 
 def test_prefetch_overlaps_producer_with_consumer():
-    """With depth 2, slow transfers run while the consumer 'computes':
-    total time must be well below the serial sum."""
-    n, cost = 6, 0.05
+    """With depth 2 the producer runs ahead of the consumer: while the
+    consumer still holds item 0, the producer must reach the transfer
+    of item 2 on its own (a synchronous pipeline never would — it only
+    transfers the next item after the consumer finishes the current
+    one).  Event-based, so immune to scheduling jitter on a loaded
+    box, unlike a wall-clock-ratio assertion."""
+    ahead = threading.Event()
 
-    def slow_transfer(x):
-        time.sleep(cost)
+    def transfer(x):
+        if x == 2:
+            ahead.set()
         return x
 
-    t0 = time.perf_counter()
-    for _ in prefetch(range(n), slow_transfer, depth=2):
-        time.sleep(cost)          # consumer work
-    elapsed = time.perf_counter() - t0
-    serial = 2 * n * cost
-    assert elapsed < serial * 0.8, (elapsed, serial)
+    consumed = []
+    for item in prefetch(range(5), transfer, depth=2):
+        if item == 0:
+            assert ahead.wait(timeout=30.0), (
+                "producer never prefetched item 2 while the consumer "
+                "held item 0")
+        consumed.append(item)
+    assert consumed == [0, 1, 2, 3, 4]
