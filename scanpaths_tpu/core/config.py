@@ -145,6 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 compute dtype for the model (params stay "
                         "f32); the TPU MXU path")
     p.add_argument("--cache_images", type=str2bool, default=True)
+    p.add_argument("--packed_cache_dir", type=str, default="",
+                   help="if set, build/serve an on-disk packed uint8 "
+                        "memmap of the resized images (bit-identical "
+                        "loads, zero decode cost across runs)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="device batches to stage ahead of the training "
                         "loop (0 = synchronous)")

@@ -70,6 +70,11 @@ class DataConfig:
     max_subjects: int = 1               # floor for the subject axis
     gt_max_length: int = 1              # floor for the fixation axis
     cache_images: bool = True
+    # Optional on-disk packed image store (data/packed_cache.py): one
+    # uint8 memmap of the resized images, built on first use, then
+    # served across runs/processes with zero image decoding.  Loads are
+    # bit-identical to the PIL path.
+    packed_cache_dir: str | None = None
 
 
 def tensorize_scanpath(pos_x, pos_y, duration_ms, origin_hw, cfg: DataConfig,
@@ -123,16 +128,32 @@ def tensorize_scanpath(pos_x, pos_y, duration_ms, origin_hw, cfg: DataConfig,
 
 
 class _ImageCache:
-    def __init__(self, enabled: bool):
+    def __init__(self, enabled: bool, packed=None):
         self.enabled = enabled
+        self.packed = packed  # PackedImageCache | None
         self._cache: dict[str, np.ndarray] = {}
+
+    def _read(self, path: str, hw) -> np.ndarray:
+        if self.packed is not None:
+            return self.packed.load(path)
+        return load_image(path, *hw)
 
     def load(self, path: str, hw) -> np.ndarray:
         if not self.enabled:
-            return load_image(path, *hw)
+            return self._read(path, hw)
         if path not in self._cache:
-            self._cache[path] = load_image(path, *hw)
+            self._cache[path] = self._read(path, hw)
         return self._cache[path]
+
+
+def _make_image_cache(cfg: DataConfig, task: TaskAdapter,
+                      records: list[dict]) -> _ImageCache:
+    packed = None
+    if cfg.packed_cache_dir:
+        from .packed_cache import PackedImageCache
+        paths = [task.image_path(rec) for rec in records]
+        packed = PackedImageCache(cfg.packed_cache_dir, paths, cfg.resize)
+    return _ImageCache(cfg.cache_images, packed)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +330,7 @@ class SupervisedDataset:
         self.cfg = cfg
         self.task = task if isinstance(task, TaskAdapter) else TASKS[task](cfg)
         self.records = self.task.load_records(split)
-        self._images = _ImageCache(cfg.cache_images)
+        self._images = _make_image_cache(cfg, self.task, self.records)
 
     def __len__(self):
         return len(self.records)
@@ -341,7 +362,7 @@ class EvaluationDataset:
         self.cfg = cfg
         self.task = task if isinstance(task, TaskAdapter) else TASKS[task](cfg)
         self.records = self.task.load_records(split)
-        self._images = _ImageCache(cfg.cache_images)
+        self._images = _make_image_cache(cfg, self.task, self.records)
         self.groups: dict[Any, list[int]] = {}
         for i, rec in enumerate(self.records):
             self.groups.setdefault(self.task.group_key(rec), []).append(i)

@@ -1,0 +1,81 @@
+"""On-disk packed image cache.
+
+The reference re-decodes every JPEG through PIL in its DataLoader
+workers each epoch (reference AiR/train.py:43-47 transform pipeline).
+The in-RAM `_ImageCache` already avoids that within one process; this
+module persists the decoded images ACROSS runs: one uint8 memmap of
+shape [N, H, W, 3] holding the resized images plus a name->row JSON
+index, built once and then served by O(1) slice reads with zero image
+decoding.
+
+Bit-fidelity: `load_image` resizes with PIL (whose output is uint8)
+and only then converts to float and normalizes — so storing the
+post-resize uint8 array and normalizing on read reproduces
+`load_image` EXACTLY.
+
+The store is keyed by the image-set fingerprint (sorted paths + target
+geometry), so a changed dataset or resize automatically builds a new
+file instead of serving stale rows.  Writes are atomic (tmp + rename);
+concurrent builders race benignly to the same content.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from .transforms import IMAGENET_MEAN, IMAGENET_STD
+
+
+class PackedImageCache:
+    """Memmap-backed store of resized uint8 images.
+
+    Parameters
+    ----------
+    cache_dir: directory for the .npy memmap + .json index.
+    paths: every image file the dataset can request (deduplicated).
+    hw: (height, width) resize target.
+    """
+
+    def __init__(self, cache_dir: str, paths: list[str],
+                 hw: tuple[int, int]):
+        self.hw = tuple(hw)
+        self.paths = sorted(set(paths))
+        fp = hashlib.md5(("|".join(self.paths)
+                          + f"@{self.hw}").encode()).hexdigest()[:16]
+        os.makedirs(cache_dir, exist_ok=True)
+        self._data_path = os.path.join(cache_dir, f"images_{fp}.npy")
+        self._index_path = os.path.join(cache_dir, f"images_{fp}.json")
+        if not (os.path.exists(self._data_path)
+                and os.path.exists(self._index_path)):
+            self._build()
+        with open(self._index_path) as f:
+            self._row = json.load(f)
+        self._mm = np.load(self._data_path, mmap_mode="r")
+
+    def _build(self):
+        h, w = self.hw
+        arr = np.empty((len(self.paths), h, w, 3), np.uint8)
+        for i, p in enumerate(self.paths):
+            img = Image.open(p).convert("RGB").resize((w, h),
+                                                      Image.BILINEAR)
+            arr[i] = np.asarray(img, np.uint8)
+        tmp = self._data_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:  # file object: np.save must not
+            np.save(f, arr)         # append its .npy suffix to tmp
+        os.replace(tmp, self._data_path)
+        tmp = self._index_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({p: i for i, p in enumerate(self.paths)}, f)
+        os.replace(tmp, self._index_path)
+
+    def load(self, path: str) -> np.ndarray:
+        """Normalized [H, W, 3] float32, identical to
+        ``transforms.load_image(path, *hw)``."""
+        row = self._mm[self._row[path]]
+        return ((row.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+                / IMAGENET_STD).astype(np.float32)

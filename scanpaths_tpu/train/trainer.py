@@ -75,7 +75,8 @@ def data_config(args) -> DataConfig:
         resize=(args.height, args.width), max_length=args.max_length,
         blur_sigma=args.blur_sigma,
         detector_threshold=args.detector_threshold,
-        coco_split=args.coco_split, cache_images=args.cache_images)
+        coco_split=args.coco_split, cache_images=args.cache_images,
+        packed_cache_dir=getattr(args, "packed_cache_dir", "") or None)
 
 
 def grid_spec(args) -> GridSpec:

@@ -1,0 +1,85 @@
+"""On-disk packed image cache: bit-identical loads, reuse across
+instances, fingerprint-keyed rebuilds, dataset integration."""
+
+import os
+import sys
+from os.path import join
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from scanpaths_tpu.data.packed_cache import PackedImageCache  # noqa: E402
+from scanpaths_tpu.data.transforms import load_image  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def synth_data_root(tmp_path_factory):
+    from make_synth_data import make_all
+
+    root = tmp_path_factory.mktemp("synth_pc")
+    make_all(str(root))
+    return str(root)
+
+
+def _write_images(tmp_path, n=4, hw=(50, 70)):
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n):
+        p = str(tmp_path / f"im{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (*hw, 3),
+                                     dtype=np.uint8)).save(p, quality=90)
+        paths.append(p)
+    return paths
+
+
+def test_packed_load_identical_to_pil_path(tmp_path):
+    paths = _write_images(tmp_path)
+    cache = PackedImageCache(str(tmp_path / "cache"), paths, (24, 32))
+    for p in paths:
+        np.testing.assert_array_equal(cache.load(p), load_image(p, 24, 32))
+
+
+def test_packed_reuses_existing_store(tmp_path):
+    paths = _write_images(tmp_path)
+    cdir = str(tmp_path / "cache")
+    PackedImageCache(cdir, paths, (24, 32))
+    files = {f: os.path.getmtime(join(cdir, f)) for f in os.listdir(cdir)}
+    cache2 = PackedImageCache(cdir, paths, (24, 32))
+    assert {f: os.path.getmtime(join(cdir, f))
+            for f in os.listdir(cdir)} == files  # nothing rebuilt
+    np.testing.assert_array_equal(cache2.load(paths[0]),
+                                  load_image(paths[0], 24, 32))
+
+
+def test_packed_fingerprint_invalidates(tmp_path):
+    paths = _write_images(tmp_path)
+    cdir = str(tmp_path / "cache")
+    PackedImageCache(cdir, paths, (24, 32))
+    n_files = len(os.listdir(cdir))
+    # different geometry -> new store, old one untouched
+    PackedImageCache(cdir, paths, (16, 20))
+    assert len(os.listdir(cdir)) == n_files + 2
+    # different path set -> new store as well
+    PackedImageCache(cdir, paths[:2], (24, 32))
+    assert len(os.listdir(cdir)) == n_files + 4
+
+
+def test_dataset_uses_packed_cache(tmp_path, synth_data_root):
+    from scanpaths_tpu.data.datasets import DataConfig, SupervisedDataset
+
+    root = synth_data_root
+    cdir = str(tmp_path / "cache")
+    kw = dict(img_dir=join(root, "osie", "stimuli"),
+              fix_dir=join(root, "osie", "fixations"),
+              action_map=(10, 12), resize=(80, 96), max_length=4)
+    ds_packed = SupervisedDataset("osie", DataConfig(
+        packed_cache_dir=cdir, cache_images=False, **kw))
+    ds_plain = SupervisedDataset("osie", DataConfig(
+        cache_images=False, **kw))
+    assert os.listdir(cdir)  # store was built
+    s_packed, s_plain = ds_packed[0], ds_plain[0]
+    np.testing.assert_array_equal(s_packed["image"], s_plain["image"])
