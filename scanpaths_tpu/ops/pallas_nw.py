@@ -152,11 +152,31 @@ def nw_scores_bins(threshold: float, xbin: int, ybin: int,
     return out[:b, 0]
 
 
+def _probe_once() -> bool:
+    got = nw_scores_bins(
+        3.5, 4, 3,
+        jnp.asarray([[1, 2, 3, 0]], jnp.int32), jnp.asarray([3]),
+        jnp.asarray([[1, 2, 3, 0]], jnp.int32), jnp.asarray([3]))
+    return bool(np.isfinite(np.asarray(got)).all())
+
+
 @functools.lru_cache(maxsize=1)
 def available() -> bool:
     """One-time probe: is the Pallas TPU path usable on this backend?
-    Retries once (remote-compile backends can flake transiently) and
-    logs the failure so a silent XLA fallback is still diagnosable."""
+
+    The probe is usually reached DURING the tracing of a jitted
+    consumer (scanmatch_scores picks its implementation at trace
+    time), so it must escape the ambient trace — it runs in a fresh
+    thread, which has a clean JAX trace context, so the probe executes
+    eagerly with concrete outputs.  (Without this the probe's result
+    is a tracer under the outer jit, the ``np.asarray`` barrier
+    raises, and every TPU run silently demotes to the XLA fallback.
+    ``jax.ensure_compile_time_eval`` is not an alternative: it leaks
+    into the Pallas kernel trace and materializes the kernel's iotas
+    as captured constants, which Mosaic rejects.)  Retries once
+    (remote-compile backends can flake transiently) and logs any
+    failure so the fallback stays diagnosable."""
+    import concurrent.futures
     import sys
 
     try:
@@ -167,12 +187,9 @@ def available() -> bool:
     last = None
     for _ in range(2):
         try:
-            got = nw_scores_bins(
-                3.5, 4, 3,
-                jnp.asarray([[1, 2, 3, 0]], jnp.int32), jnp.asarray([3]),
-                jnp.asarray([[1, 2, 3, 0]], jnp.int32), jnp.asarray([3]))
-            if bool(np.isfinite(np.asarray(got)).all()):
-                return True
+            with concurrent.futures.ThreadPoolExecutor(1) as ex:
+                if ex.submit(_probe_once).result(timeout=600):
+                    return True
         except Exception as e:  # noqa: BLE001
             last = e
     print(f"[pallas_nw] probe failed, using the XLA NW path: "

@@ -178,3 +178,38 @@ def test_pallas_nw_matches_xla(rng):
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
                                    err_msg=f"temp_bin={spec.temp_bin}")
         assert np.isnan(got[2]) and np.isnan(want[2])
+
+
+def test_pallas_probe_escapes_ambient_trace():
+    """Regression: pallas_nw.available() is usually first called DURING
+    the tracing of a jitted consumer (scanmatch_scores selects its
+    implementation at trace time, e.g. inside the jitted RL step).  The
+    probe must still produce a CONCRETE result there — on the real TPU
+    it once returned a tracer, raised at its np.asarray barrier, and
+    permanently (lru_cache) demoted every run to the XLA fallback.  The
+    probe now executes in a fresh thread (clean trace context); this
+    exercises that mechanism under an ambient trace with the
+    interpret-mode kernel."""
+    import concurrent.futures
+
+    from scanpaths_tpu.ops.pallas_nw import nw_scores_bins
+
+    def probe_like():
+        got = nw_scores_bins(
+            3.5, 4, 3,
+            jnp.asarray([[1, 2, 3, 0]], jnp.int32), jnp.asarray([3]),
+            jnp.asarray([[1, 2, 3, 0]], jnp.int32), jnp.asarray([3]),
+            interpret=True)
+        return np.asarray(got)  # raises if `got` is a tracer
+
+    out = {}
+
+    def traced(x):
+        with concurrent.futures.ThreadPoolExecutor(1) as ex:
+            out["probe"] = ex.submit(probe_like).result(timeout=600)
+        return x
+
+    jax.jit(traced)(jnp.zeros(()))
+    assert np.isfinite(out["probe"]).all()
+    # a perfect self-match scores 1.0
+    np.testing.assert_allclose(out["probe"], [1.0], atol=1e-6)

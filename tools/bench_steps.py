@@ -12,6 +12,11 @@ import os
 import sys
 import time
 
+# make the repo importable when invoked as `python tools/bench_steps.py`
+# WITHOUT touching PYTHONPATH (the host environment may carry a
+# sitecustomize on PYTHONPATH that registers the TPU plugin)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sp_bench_cache")
 
 import jax
