@@ -8,7 +8,8 @@ reference's three copy-paste directories.
 
 Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
   core/     grid geometry, fixation structs, layered config
-  data/     JSON fixation datasets -> packed device arrays
+  data/     JSON fixation datasets -> packed device arrays; on-disk
+            packed image cache; host->device prefetch
   models/   dilated ResNet-50 + ConvLSTM decoder as one lax.scan program
   ops/      device sampler (batched stochastic + greedy decode),
             Pallas TPU NW-alignment kernel (pallas_nw)
@@ -16,7 +17,9 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
             kernels + the evaluation sweeps and artifact dumpers
   train/    supervised + SCST steps (reward in-graph), pjit data parallel
   utils/    checkpoint triad (msgpack), run records, logging
-  cli/      train/test entry points mirroring the reference flags
+  cli/      train/test/predict/preprocess entry points (train/test
+            mirror the reference flags; predict serves arbitrary
+            images)
 """
 
 __version__ = "0.1.0"

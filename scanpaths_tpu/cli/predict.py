@@ -138,14 +138,13 @@ def main(argv=None):
         if args.decode == "greedy":
             samples = jax.tree.map(lambda x: x[None],
                                    greedy_jit(probs, mu, sigma2))
-            records.extend(_records(names, jax.tree.map(
-                lambda x: x[:, :n_real], samples)))
         else:
             evaluator.key, sub = jax.random.split(evaluator.key)
-            samples = evaluator._sampler(sub, probs, mu, sigma2,
-                                         args.num_samples)
-            records.extend(_records(names, jax.tree.map(
-                lambda x: x[:, :n_real], samples)))
+            # 0 = "the evaluation setting": eval_repeat_num per image
+            n_samples = args.num_samples or args.eval_repeat_num
+            samples = evaluator._sampler(sub, probs, mu, sigma2, n_samples)
+        records.extend(_records(names, jax.tree.map(
+            lambda x: x[:, :n_real], samples)))
 
     payload = json.dumps(records, indent=2)
     if args.predict_out:

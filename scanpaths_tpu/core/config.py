@@ -171,7 +171,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="deterministic argmax decode or stochastic "
                         "sampling")
     p.add_argument("--num_samples", type=int, default=1,
-                   help="scanpaths per image in --decode sample mode")
+                   help="scanpaths per image in --decode sample mode "
+                        "(0 = use --eval_repeat_num, the evaluation "
+                        "setting)")
     p.add_argument("--predict_att", type=str, default="",
                    help="comma-separated .npy attention maps aligned "
                         "with --predict_images (air/coco; zeros when "

@@ -135,6 +135,9 @@ class _ImageCache:
 
     def _read(self, path: str, hw) -> np.ndarray:
         if self.packed is not None:
+            assert self.packed.hw == tuple(hw), (
+                f"packed store built at {self.packed.hw}, "
+                f"requested {tuple(hw)}")
             return self.packed.load(path)
         return load_image(path, *hw)
 

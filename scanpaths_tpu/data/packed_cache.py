@@ -13,10 +13,12 @@ and only then converts to float and normalizes — so storing the
 post-resize uint8 array and normalizing on read reproduces
 `load_image` EXACTLY.
 
-The store is keyed by the image-set fingerprint (sorted paths + target
-geometry), so a changed dataset or resize automatically builds a new
-file instead of serving stale rows.  Writes are atomic (tmp + rename);
-concurrent builders race benignly to the same content.
+The store is keyed by the image-set fingerprint (sorted paths, their
+sizes and mtimes, and the target geometry), so a changed dataset —
+including in-place re-downloads under the same filenames — or a
+changed resize automatically builds a new file instead of serving
+stale rows.  Writes are atomic (tmp + rename) and row-streamed (O(1)
+host memory); concurrent builders race benignly to the same content.
 """
 
 from __future__ import annotations
@@ -45,8 +47,10 @@ class PackedImageCache:
                  hw: tuple[int, int]):
         self.hw = tuple(hw)
         self.paths = sorted(set(paths))
-        fp = hashlib.md5(("|".join(self.paths)
-                          + f"@{self.hw}").encode()).hexdigest()[:16]
+        stamp = "|".join(
+            f"{p}:{st.st_size}:{st.st_mtime_ns}"
+            for p, st in ((p, os.stat(p)) for p in self.paths))
+        fp = hashlib.md5((stamp + f"@{self.hw}").encode()).hexdigest()[:16]
         os.makedirs(cache_dir, exist_ok=True)
         self._data_path = os.path.join(cache_dir, f"images_{fp}.npy")
         self._index_path = os.path.join(cache_dir, f"images_{fp}.json")
@@ -59,14 +63,18 @@ class PackedImageCache:
 
     def _build(self):
         h, w = self.hw
-        arr = np.empty((len(self.paths), h, w, 3), np.uint8)
+        tmp = self._data_path + f".tmp{os.getpid()}"
+        # stream rows straight into the file: O(1) host memory even for
+        # datasets whose packed form is many GB
+        arr = np.lib.format.open_memmap(
+            tmp, mode="w+", dtype=np.uint8,
+            shape=(len(self.paths), h, w, 3))
         for i, p in enumerate(self.paths):
             img = Image.open(p).convert("RGB").resize((w, h),
                                                       Image.BILINEAR)
             arr[i] = np.asarray(img, np.uint8)
-        tmp = self._data_path + f".tmp{os.getpid()}"
-        with open(tmp, "wb") as f:  # file object: np.save must not
-            np.save(f, arr)         # append its .npy suffix to tmp
+        arr.flush()
+        del arr
         os.replace(tmp, self._data_path)
         tmp = self._index_path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:

@@ -63,33 +63,28 @@ TASKS = ("osie", "air", "coco")
 
 def _task_data_config(args, task: str) -> DataConfig:
     root = args.joint_data_root
+    common = dict(action_map=(args.map_height, args.map_width),
+                  resize=(args.height, args.width),
+                  max_length=args.max_length,
+                  blur_sigma=args.blur_sigma,
+                  cache_images=args.cache_images,
+                  packed_cache_dir=getattr(args, "packed_cache_dir", "")
+                  or None)
     if task == "osie":
         return DataConfig(img_dir=join(root, "osie", "stimuli"),
                           fix_dir=join(root, "osie", "fixations"),
-                          action_map=(args.map_height, args.map_width),
-                          resize=(args.height, args.width),
-                          max_length=args.max_length,
-                          blur_sigma=args.blur_sigma,
-                          cache_images=args.cache_images)
+                          **common)
     if task == "air":
         return DataConfig(img_dir=join(root, "air", "stimuli"),
                           fix_dir=join(root, "air", "fixations"),
                           att_dir=join(root, "air", "attention"),
-                          action_map=(args.map_height, args.map_width),
-                          resize=(args.height, args.width),
-                          max_length=args.max_length,
-                          blur_sigma=args.blur_sigma,
-                          cache_images=args.cache_images)
+                          **common)
     return DataConfig(img_dir=join(root, "coco", "images"),
                       fix_dir=join(root, "coco", "fixations"),
                       att_dir=join(root, "coco", "detectors"),
-                      action_map=(args.map_height, args.map_width),
-                      resize=(args.height, args.width),
-                      max_length=args.max_length,
-                      blur_sigma=args.blur_sigma,
                       detector_threshold=args.detector_threshold,
                       coco_split=args.coco_split,
-                      cache_images=args.cache_images)
+                      **common)
 
 
 class _TaskContext:

@@ -68,6 +68,23 @@ def test_packed_fingerprint_invalidates(tmp_path):
     assert len(os.listdir(cdir)) == n_files + 4
 
 
+def test_packed_detects_inplace_content_change(tmp_path):
+    """Re-generating an image under the SAME filename must not serve
+    stale rows: the fingerprint covers file size+mtime."""
+    paths = _write_images(tmp_path)
+    cdir = str(tmp_path / "cache")
+    cache1 = PackedImageCache(cdir, paths, (24, 32))
+    old = cache1.load(paths[0]).copy()
+    rng = np.random.default_rng(99)
+    Image.fromarray(rng.integers(0, 255, (50, 70, 3),
+                                 dtype=np.uint8)).save(paths[0], quality=90)
+    os.utime(paths[0], ns=(1, 1))  # force a distinct mtime even on
+    cache2 = PackedImageCache(cdir, paths, (24, 32))  # coarse clocks
+    fresh = cache2.load(paths[0])
+    np.testing.assert_array_equal(fresh, load_image(paths[0], 24, 32))
+    assert not np.array_equal(fresh, old)
+
+
 def test_dataset_uses_packed_cache(tmp_path, synth_data_root):
     from scanpaths_tpu.data.datasets import DataConfig, SupervisedDataset
 

@@ -32,24 +32,32 @@ def test_prefetch_propagates_producer_errors():
 
 
 def test_prefetch_overlaps_producer_with_consumer():
-    """With depth 2 the producer runs ahead of the consumer: while the
+    """With depth 2 the producer runs AHEAD of the consumer — while the
     consumer still holds item 0, the producer must reach the transfer
-    of item 2 on its own (a synchronous pipeline never would — it only
-    transfers the next item after the consumer finishes the current
-    one).  Event-based, so immune to scheduling jitter on a loaded
-    box, unlike a wall-clock-ratio assertion."""
+    of item 2 on its own (a synchronous pipeline never would) — but
+    stays BOUNDED: with queue capacity 2, the transfer of item 4
+    requires the consumer to have taken item 1 first, so an eager
+    transfer-everything-then-yield implementation fails here.
+    Event-based, so immune to scheduling jitter on a loaded box,
+    unlike a wall-clock-ratio assertion."""
     ahead = threading.Event()
+    too_far = threading.Event()
 
     def transfer(x):
         if x == 2:
             ahead.set()
+        if x == 4:
+            too_far.set()
         return x
 
     consumed = []
-    for item in prefetch(range(5), transfer, depth=2):
+    for item in prefetch(range(6), transfer, depth=2):
         if item == 0:
             assert ahead.wait(timeout=30.0), (
                 "producer never prefetched item 2 while the consumer "
                 "held item 0")
+            assert not too_far.is_set(), (
+                "producer ran unboundedly ahead: transfer(4) cannot "
+                "legally start before the consumer takes item 1")
         consumed.append(item)
-    assert consumed == [0, 1, 2, 3, 4]
+    assert consumed == [0, 1, 2, 3, 4, 5]
