@@ -144,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--half_precision", type=str2bool, default=False,
                    help="bf16 compute dtype for the model (params stay "
                         "f32); the TPU MXU path")
+    p.add_argument("--remat", type=str2bool, default=False,
+                   help="rematerialize decode-step activations in "
+                        "backprop (jax.checkpoint): ~1 extra forward "
+                        "per step for O(1)-in-T activation memory, "
+                        "enabling much larger training batches")
     p.add_argument("--cache_images", type=str2bool, default=True)
     p.add_argument("--packed_cache_dir", type=str, default="",
                    help="if set, build/serve an on-disk packed uint8 "

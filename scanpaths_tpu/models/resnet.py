@@ -86,10 +86,16 @@ def _ceil_maxpool(x, window=3, stride=2):
 
 class DilatedResNet50(nn.Module):
     """Stride-8 ResNet-50 trunk; input NHWC [N, 240, 320, 3] ->
-    [N, 30, 40, 2048]."""
+    [N, 30, 40, 2048].
+
+    ``remat=True`` checkpoints every bottleneck block
+    (jax.checkpoint): backprop holds block BOUNDARY activations only,
+    recomputing block internals — the standard trade for large train
+    batches.  Parameter tree unchanged."""
 
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,18 +109,23 @@ class DilatedResNet50(nn.Module):
 
         # (planes, first-block stride, dilation) per stage after the
         # dilation patch (baseline_attention.py:212-224)
+        # train must be STATIC under remat (it selects the BatchNorm
+        # branch with a python bool) — hence positional + static_argnums
+        block_cls = nn.remat(Bottleneck, prevent_cse=False,
+                             static_argnums=(2,)) if self.remat \
+            else Bottleneck
         stages = [(64, 1, 1), (128, 1, 1), (256, 2, 2), (512, 1, 4)]
         for si, ((planes, stride, dilation), blocks) in enumerate(
                 zip(stages, self.layers), start=1):
             for bi in range(blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if bi == 0 else 1,
                     dilation=dilation,
                     has_downsample=(bi == 0),
                     dtype=self.dtype,
                     name=f"layer{si}_block{bi}",
-                )(x, train=train)
+                )(x, train)
         return x
 
 

@@ -60,6 +60,12 @@ class ScanpathModel(nn.Module):
     # give structurally identical tiny models for CPU-hosted tests and
     # the multi-chip dryrun.
     backbone_layers: tuple = (3, 4, 6, 3)
+    # rematerialize each decode step's activations during backprop
+    # (jax.checkpoint on the scan body): training holds one step's
+    # activations instead of all T, trading ~1 extra forward for the
+    # ability to run much larger train batches (batch 64 at full
+    # geometry needs 21.5G HBM without remat — over the 16G chip)
+    remat: bool = False
 
     @property
     def hw(self) -> int:
@@ -67,7 +73,7 @@ class ScanpathModel(nn.Module):
 
     def setup(self):
         self.backbone = DilatedResNet50(layers=self.backbone_layers,
-                                        dtype=self.dtype)
+                                        dtype=self.dtype, remat=self.remat)
         self.sal_conv = nn.Conv(self.embed, (3, 3), padding=[(1, 1), (1, 1)],
                                 kernel_init=xavier_conv_init,
                                 dtype=self.dtype)
@@ -206,7 +212,10 @@ class ScanpathModel(nn.Module):
         if self.task == "coco":
             carry["task_ids"] = task_ids
 
-        scan = nn.scan(lambda mdl, c, xs: mdl._step(c, xs),
+        body = lambda mdl, c, xs: mdl._step(c, xs)  # noqa: E731
+        if self.remat:
+            body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(body,
                        variable_broadcast="params",
                        split_rngs={"params": False, "dropout": False},
                        length=self.seq_len)
@@ -272,11 +281,13 @@ class JointScanpathModel(nn.Module):
     num_categories: int = 18
     dtype: Any = jnp.float32
     backbone_layers: tuple = (3, 4, 6, 3)
+    remat: bool = False
 
     def setup(self):
         kw = dict(seq_len=self.seq_len, map_h=self.map_h, map_w=self.map_w,
                   embed=self.embed, num_categories=self.num_categories,
-                  dtype=self.dtype, backbone_layers=self.backbone_layers)
+                  dtype=self.dtype, backbone_layers=self.backbone_layers,
+                  remat=self.remat)
         self.backbone = DilatedResNet50(layers=self.backbone_layers,
                                         dtype=self.dtype)
         self.osie = ScanpathModel(task="osie", **kw)

@@ -93,6 +93,7 @@ def build_model(args):
         args.task, seq_len=args.max_length, map_h=args.map_height,
         map_w=args.map_width, embed=getattr(args, "embed", 512),
         backbone_layers=layers,
+        remat=getattr(args, "remat", False),
         dtype=jnp.bfloat16 if getattr(args, "half_precision", False)
         else jnp.float32)
 
