@@ -122,7 +122,7 @@ def peak_flops(dtype: str) -> float:
 def main():
     from scanpaths_tpu.core.grid import GridSpec
     from scanpaths_tpu.models.scanpath_model import create_model
-    from scanpaths_tpu.ops.sampling import random_sample
+    from scanpaths_tpu.ops.sampling import random_sample, sample_checksum
 
     n_chips = max(jax.device_count(), 1)
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
@@ -140,16 +140,7 @@ def main():
         samples = jax.vmap(lambda k: random_sample(
             k, out["all_actions_prob"], out["log_normal_mu"],
             out["log_normal_sigma2"], grid))(keys)
-        # device-side checksum over every sampled fixation (durations
-        # from a random-init model can be astronomically large finite
-        # values — exp of random logits — so clip MAGNITUDE, not just
-        # non-finites, before reducing: it only has to prove the work
-        # happened, and the JSON line must stay parseable)
-        chk = jnp.clip(jnp.nan_to_num(samples.fix, nan=1.0, posinf=1e6,
-                                      neginf=-1e6),
-                       -1e6, 1e6).astype(jnp.float32).sum() \
-            + samples.fix_len.astype(jnp.float32).sum()
-        return samples.fix, samples.fix_len, chk
+        return samples.fix, samples.fix_len, sample_checksum(samples)
 
     key = jax.random.PRNGKey(1)
     for _ in range(WARMUP):

@@ -110,10 +110,13 @@ class DilatedResNet50(nn.Module):
         # (planes, first-block stride, dilation) per stage after the
         # dilation patch (baseline_attention.py:212-224)
         # train must be STATIC under remat (it selects the BatchNorm
-        # branch with a python bool) — hence positional + static_argnums
-        block_cls = nn.remat(Bottleneck, prevent_cse=False,
-                             static_argnums=(2,)) if self.remat \
-            else Bottleneck
+        # branch with a python bool) — hence positional + static_argnums.
+        # prevent_cse stays at its default True: the blocks run in
+        # straight-line jitted code (not inside a scan), where CSE could
+        # otherwise merge the recompute back into the forward pass and
+        # silently restore full activation memory.
+        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) \
+            if self.remat else Bottleneck
         stages = [(64, 1, 1), (128, 1, 1), (256, 2, 2), (512, 1, 4)]
         for si, ((planes, stride, dilation), blocks) in enumerate(
                 zip(stages, self.layers), start=1):

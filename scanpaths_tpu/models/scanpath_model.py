@@ -289,7 +289,7 @@ class JointScanpathModel(nn.Module):
                   dtype=self.dtype, backbone_layers=self.backbone_layers,
                   remat=self.remat)
         self.backbone = DilatedResNet50(layers=self.backbone_layers,
-                                        dtype=self.dtype)
+                                        dtype=self.dtype, remat=self.remat)
         self.osie = ScanpathModel(task="osie", **kw)
         self.air = ScanpathModel(task="air", **kw)
         self.coco = ScanpathModel(task="coco", **kw)

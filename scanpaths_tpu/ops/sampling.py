@@ -132,6 +132,22 @@ def greedy_sample(probs: jnp.ndarray, mu: jnp.ndarray, sigma2: jnp.ndarray,
                      duration_mask=duration_mask)
 
 
+def sample_checksum(sample: SampleOut) -> jnp.ndarray:
+    """Device-side scalar that depends on every sampled fixation.
+
+    The benchmark honesty barrier (bench.py, tools/bench_serving.py):
+    materializing this scalar on the host is a true execution barrier
+    even on tunneled backends where ``block_until_ready`` is advisory.
+    Values are magnitude-clipped before reducing — a random-init model
+    can emit astronomically large finite durations (exp of random
+    logits) that would overflow the f32 sum and print unparseable
+    JSON; the checksum only has to prove the work happened."""
+    fix = jnp.clip(jnp.nan_to_num(sample.fix, nan=1.0, posinf=1e6,
+                                  neginf=-1e6), -1e6, 1e6)
+    return fix.astype(jnp.float32).sum() \
+        + sample.fix_len.astype(jnp.float32).sum()
+
+
 def to_fix_vectors(sample: SampleOut) -> list[np.ndarray]:
     """Host conversion: one structured fixation vector per batch element
     (the interchange format of the host metric suite)."""
