@@ -85,6 +85,16 @@ def main(argv=None):
     evaluator.key = jax.random.PRNGKey(args.seed)
 
     att_paths = [p for p in args.predict_att.split(",") if p]
+    if att_paths and args.task == "osie":
+        print("[predict] warning: --predict_att is ignored for an osie "
+              "checkpoint (the osie model takes no attention input)",
+              file=sys.stderr)
+        att_paths = []
+    if args.decode == "greedy" and args.num_samples and args.num_samples > 1:
+        print(f"[predict] warning: --num_samples {args.num_samples} is "
+              "ignored under --decode greedy (deterministic, one scanpath "
+              "per image); use --decode sample for stochastic rollouts",
+              file=sys.stderr)
     if att_paths:
         assert len(att_paths) == len(paths), (
             f"{len(att_paths)} attention maps for {len(paths)} images")

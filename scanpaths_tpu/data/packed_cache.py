@@ -26,6 +26,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import sys
+import time
 
 import numpy as np
 from PIL import Image
@@ -57,9 +59,45 @@ class PackedImageCache:
         if not (os.path.exists(self._data_path)
                 and os.path.exists(self._index_path)):
             self._build()
+            size = os.path.getsize(self._data_path)
+            total = sum(
+                os.path.getsize(os.path.join(cache_dir, f))
+                for f in os.listdir(cache_dir) if f.startswith("images_"))
+            print(f"[packed_cache] built {os.path.basename(self._data_path)}"
+                  f" ({size / 1e9:.2f} GB); cache dir now {total / 1e9:.2f}"
+                  " GB — stale stores from superseded fingerprints are"
+                  " removed by PackedImageCache.prune()", file=sys.stderr)
+        # mark the store as in-use so prune() keeps it (other fingerprints
+        # in the same dir may belong to sibling splits, not staleness —
+        # age since last open is the only safe eviction signal)
+        now = time.time()
+        os.utime(self._index_path, (now, now))
+        os.utime(self._data_path, (now, now))
         with open(self._index_path) as f:
             self._row = json.load(f)
         self._mm = np.load(self._data_path, mmap_mode="r")
+
+    @staticmethod
+    def prune(cache_dir: str, keep_days: float = 30.0) -> list[str]:
+        """Delete packed stores not opened for ``keep_days`` (every open
+        touches the store's mtime).  Fingerprint mismatch alone is NOT
+        staleness — sibling splits share the cache dir — so eviction is
+        by age.  Returns the removed file names."""
+        removed = []
+        cutoff = time.time() - keep_days * 86400.0
+        if not os.path.isdir(cache_dir):
+            return removed
+        for f in os.listdir(cache_dir):
+            if not f.startswith("images_"):
+                continue
+            p = os.path.join(cache_dir, f)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    removed.append(f)
+            except OSError:
+                pass
+        return removed
 
     def _build(self):
         h, w = self.hw

@@ -4,8 +4,18 @@ et al. 2012).
 The reference framework consumes the external ``multimatch_gaze``
 package via ``docomparison(fix_vector_1, fix_vector_2, screensize=[320,240])``
 (reference OSIE/utils/evaluation.py:38) with no simplification
-(grouping off).  That package is not vendored here; this module is an
-independent implementation of the published algorithm:
+(grouping off).  That package is not vendored here (and cannot be
+pip-installed in the offline build environment); this module is an
+independent implementation of the published algorithm.  Parity
+evidence (tests/test_multimatch_parity.py): a second clean-room
+implementation that mirrors the package's own computation route
+(lattice graph + heap Dijkstra, tests/mm_oracle.py) agrees with this
+module to float precision on 300+ random and grid-quantized pairs,
+the alignment is proven optimal by exhaustive enumeration, and the
+worst-case tie-breaking sensitivity on grid data is measured at
+~1/300 pairs x <=0.09 on one column (~3e-4 effect on the averaged
+metrics the reference reports — two orders below the 1% parity
+budget).  Algorithm:
 
 1. if either scanpath has fewer than 3 fixations, return [nan]*5;
 2. build saccade vectors between consecutive fixations;

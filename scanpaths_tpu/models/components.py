@@ -59,6 +59,39 @@ def grouped_xavier_conv_init(groups: int):
 dense_init = nn.initializers.normal(stddev=0.01)
 
 
+class ConvParams(nn.Module):
+    """Parameter holder with the exact tree of an ``nn.Conv``
+    ({kernel [kh, kw, cin, cout], bias [cout]}) but no application
+    logic: calling it returns the raw (kernel, bias) so the model can
+    choose between the literal per-layer convs (the parity oracle) and
+    the algebraically fused evaluation (:func:`fuse_cond_head`).
+    Checkpoints are interchangeable with the ``nn.Conv`` it replaces."""
+
+    shape: tuple                  # (kh, kw, cin, cout)
+    kernel_init: Any = xavier_conv_init
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+def conv2d(x, kernel, bias=None, strides=(1, 1), padding=((0, 0), (0, 0)),
+           dtype=None):
+    """NHWC/HWIO conv mirroring ``nn.Conv`` semantics (inputs and kernel
+    cast to the compute dtype, output in that dtype)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        x, kernel, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + (bias.astype(out.dtype) if dtype is not None else bias)
+    return out
+
+
 class SignalGates(nn.Module):
     """3x3 conv over the rank-1 task signal ``s (x) cv`` — factorized.
 
@@ -242,35 +275,62 @@ class PredictHead(nn.Module):
     Returns raw logits ``z`` [N, A] (A = H*W + 1, STOP at index 0; the
     caller softmaxes in eval mode), duration (mu, sigma2) [N], and the
     relu saliency map [N, H, W] that feeds back into the history.
+
+    Parameters live in :class:`ConvParams` holders with the same names
+    and trees as the ``nn.Conv`` layers they used to be, so both the
+    literal path (``__call__``) and the fused conditioner+head path
+    (:func:`fuse_cond_head` / :func:`apply_fused_cond_head`) read the
+    same checkpoint.
     """
 
     map_h: int = 30
     map_w: int = 40
+    embed: int = 512
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        e = self.embed
+        self.sal_layer_2 = ConvParams((1, 1, e, 1))
+        self.drt_layer_1 = ConvParams((7, 7, e, 1))
+        self.drt_layer_2 = ConvParams((self.map_h // 5, self.map_w // 5,
+                                       1, 2))
+        self.sal_layer_3 = ConvParams((1, 1, e, 1))
+
+    def raw(self):
+        """Materialize every head parameter (also forces creation under
+        the fused path, keeping init trees identical)."""
+        return {"w2": self.sal_layer_2(), "kd": self.drt_layer_1(),
+                "kd2": self.drt_layer_2(), "w3": self.sal_layer_3()}
+
+    def finish_duration(self, d):
+        """relu -> drt_layer_2 -> (mu, sigma2); ``d`` [N, h5, w5] is the
+        raw drt_layer_1 output (reference baseline_attention.py:144-147).
+        Shared by the literal and fused paths."""
+        n = d.shape[0]
+        k2, b2 = self.drt_layer_2()
+        t = nn.relu(d)[..., None]
+        t = conv2d(t, k2, b2, dtype=self.dtype)
+        t = t.reshape(n, 2).astype(jnp.float32)
+        return t[:, 0], jnp.exp(t[:, 1])
+
     def __call__(self, feat):
+        """The literal per-layer path (parity oracle; also what runs
+        when the model is built with ``fuse_head=False``)."""
         n = feat.shape[0]
-        stop_map = nn.Conv(1, (1, 1), kernel_init=xavier_conv_init,
-                           dtype=self.dtype, name="sal_layer_2")(feat)
+        w2k, w2b = self.sal_layer_2()
+        stop_map = conv2d(feat, w2k, w2b, dtype=self.dtype)
         stop_logit = jnp.mean(
             stop_map.reshape(n, -1).astype(jnp.float32), axis=-1,
             keepdims=True)  # global avg pool
-        t = nn.Conv(1, (7, 7), strides=(5, 5), padding=[(2, 2), (2, 2)],
-                    kernel_init=xavier_conv_init, dtype=self.dtype,
-                    name="drt_layer_1")(feat)
-        t = nn.relu(t)
-        t = nn.Conv(2, (self.map_h // 5, self.map_w // 5), padding="VALID",
-                    kernel_init=xavier_conv_init, dtype=self.dtype,
-                    name="drt_layer_2")(t)
+        kdk, kdb = self.drt_layer_1()
+        d = conv2d(feat, kdk, kdb, strides=(5, 5),
+                   padding=((2, 2), (2, 2)), dtype=self.dtype)[..., 0]
         # duration params and logits leave the mixed-precision region in
         # f32: exp() range and the categorical sampling need it
-        t = t.reshape(n, 2).astype(jnp.float32)
-        mu = t[:, 0]
-        sigma2 = jnp.exp(t[:, 1])
-        amap = nn.relu(nn.Conv(1, (1, 1), kernel_init=xavier_conv_init,
-                               dtype=self.dtype,
-                               name="sal_layer_3")(feat))[..., 0]  # [N,H,W]
+        mu, sigma2 = self.finish_duration(d)
+        w3k, w3b = self.sal_layer_3()
+        amap = nn.relu(conv2d(feat, w3k, w3b,
+                              dtype=self.dtype))[..., 0]  # [N,H,W]
         z = jnp.concatenate(
             [stop_logit, amap.reshape(n, -1).astype(jnp.float32)], axis=-1)
         return z, mu, sigma2, amap
@@ -296,32 +356,50 @@ class Conditioner(nn.Module):
     num_heads: int = 18
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, h, task_ids=None):
+    def setup(self):
         e = self.embed
         if self.mode == "single":
-            return (nn.Conv(e, (5, 5), padding=[(2, 2), (2, 2)],
-                            kernel_init=xavier_conv_init, dtype=self.dtype,
-                            name="sal_layer")(h),)
+            self.sal_layer = ConvParams((5, 5, e, e))
+        elif self.mode == "dual":
+            self.sal_layer_true = ConvParams((5, 5, e, e))
+            self.sal_layer_false = ConvParams((5, 5, e, e))
+        else:  # bank
+            self.bank_kernel = self.param(
+                "bank_kernel",
+                lambda key, shape: jnp.stack([
+                    xavier_conv_init(k, shape[1:])
+                    for k in jax.random.split(key, shape[0])]),
+                (self.num_heads, 5, 5, e, e))
+            self.bank_bias = self.param("bank_bias", nn.initializers.zeros,
+                                        (self.num_heads, e))
+
+    def kernels(self):
+        """Raw (kernel, bias) per stream — the fusion inputs.  For
+        mode="bank" returns the whole [K, 5, 5, C, C] / [K, C] bank."""
+        if self.mode == "single":
+            return [self.sal_layer()]
         if self.mode == "dual":
-            good = nn.Conv(e, (5, 5), padding=[(2, 2), (2, 2)],
-                           kernel_init=xavier_conv_init, dtype=self.dtype,
-                           name="sal_layer_true")(h)
-            poor = nn.Conv(e, (5, 5), padding=[(2, 2), (2, 2)],
-                           kernel_init=xavier_conv_init, dtype=self.dtype,
-                           name="sal_layer_false")(h)
-            return good, poor
-        # bank
-        kernel = self.param(
-            "bank_kernel",
-            lambda key, shape: jnp.stack([
-                xavier_conv_init(k, shape[1:])
-                for k in jax.random.split(key, shape[0])]),
-            (self.num_heads, 5, 5, e, e))
-        bias = self.param("bank_bias", nn.initializers.zeros,
-                          (self.num_heads, e))
-        k_sel = kernel[task_ids].astype(self.dtype)   # [N, 5, 5, C, C]
-        b_sel = bias[task_ids].astype(self.dtype)     # [N, C]
+            return [self.sal_layer_true(), self.sal_layer_false()]
+        return [(self.bank_kernel, self.bank_bias)]
+
+    def __call__(self, h, task_ids=None):
+        """The literal path: materialize the 5x5 512->512 conv output
+        per stream (parity oracle / ``fuse_head=False``)."""
+        if self.mode == "single":
+            k, b = self.sal_layer()
+            return (conv2d(h, k, b, padding=((2, 2), (2, 2)),
+                           dtype=self.dtype),)
+        if self.mode == "dual":
+            kt, bt = self.sal_layer_true()
+            kf, bf = self.sal_layer_false()
+            return (conv2d(h, kt, bt, padding=((2, 2), (2, 2)),
+                           dtype=self.dtype),
+                    conv2d(h, kf, bf, padding=((2, 2), (2, 2)),
+                           dtype=self.dtype))
+        # bank: gather per-sample kernels, vmapped conv — gradients flow
+        # only to the gathered slices, matching ModuleDict behaviour
+        k_sel = self.bank_kernel[task_ids].astype(self.dtype)  # [N,5,5,C,C]
+        b_sel = self.bank_bias[task_ids].astype(self.dtype)    # [N, C]
         h = h.astype(self.dtype)
 
         def one(hi, ki, bi):
@@ -330,3 +408,138 @@ class Conditioner(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
             return out + bi
         return (jax.vmap(one)(h, k_sel, b_sel),)
+
+
+# ---------------------------------------------------------------------------
+# Fused conditioner+head evaluation
+#
+# The reference feeds the 5x5 512->512 conditioner conv output straight
+# into predict_head with NO nonlinearity in between
+# (OSIE/models/baseline_attention.py:281-282 `feature =
+# self.performance_sal_layer(output); self.object_head(feature)`), and
+# every head consumer of that feature is itself a LINEAR 512->1 conv
+# (sal_layer_2 1x1, sal_layer_3 1x1, drt_layer_1 7x7 stride 5 —
+# baseline_attention.py:130-135) with nonlinearities only afterwards.
+# The chain therefore composes algebraically: contract the conditioner
+# kernel with each head kernel ONCE per forward (hoisted out of the
+# 16-step scan) and apply only 512->1 convs per step.  This removes the
+# per-step 512->512 channel mixing — ~15.7 GFLOP/step, ~35% of total
+# model FLOPs at reference geometry — EXACTLY (up to float
+# reassociation).
+#
+# Border handling: the 1x1 compositions are exact everywhere.  The drt
+# composition (7x7 stride-5 after 5x5, both zero-padded) is an 11x11
+# stride-5 conv on the zero-extended input PLUS corrections for windows
+# that overlap the conditioner's zero padding — with kernel 7, padding
+# 2, stride 5 on an H,W divisible-by-5 grid these occur only at output
+# row 0 (input rows -2, -1) and output column 0 (input cols -2, -1).
+# The corrections are tiny 512->1 convs over the 2-row / 2-col border
+# strips, derived below and verified bit-tight against the two-stage
+# oracle in tests/test_fused_head.py.
+# ---------------------------------------------------------------------------
+
+
+def _rowcomp(k1row, kdrow):
+    """1-D kernel composition: out[q, i] = sum_{b+dx=q} kdrow[b, o] *
+    k1row[dx, i, o], with dx in 0..4, b in 0..6, q in 0..10."""
+    parts = jnp.einsum("xio,bo->bxi", k1row, kdrow)   # [7, 5, C]
+    out = jnp.zeros((11, k1row.shape[1]), k1row.dtype)
+    for b in range(7):
+        out = out.at[b:b + 5].add(parts[b])
+    return out
+
+
+def fuse_cond_head(k1, b1, head_raw, map_h, map_w):
+    """Compose a [5,5,C,C] conditioner kernel/bias with the head's three
+    512->1 convs.  All math in the params' dtype (f32).  Returns a dict
+    of composed tensors consumed by :func:`apply_fused_cond_head`."""
+    c = k1.shape[2]
+    w2k, w2b = head_raw["w2"]
+    w3k, w3b = head_raw["w3"]
+    kdk, kdb = head_raw["kd"]
+    w2 = w2k[0, 0, :, 0]
+    w3 = w3k[0, 0, :, 0]
+    kd = kdk[..., 0]                                   # [7, 7, Co]
+
+    # --- 1x1 head convs compose exactly (stop-map + action-map) ---
+    k_sa = jnp.stack([jnp.einsum("yxco,o->yxc", k1, w2),
+                      jnp.einsum("yxco,o->yxc", k1, w3)],
+                     axis=-1)                          # [5, 5, C, 2]
+    b_sa = jnp.stack([b1 @ w2 + w2b[0], b1 @ w3 + w3b[0]])
+
+    # --- drt main term: 11x11 composite kernel via a "full" conv of the
+    # conditioner kernel (as a C-batch of 5x5xCo images) with the
+    # spatially flipped drt kernel ---
+    lhs = jnp.transpose(k1, (2, 0, 1, 3))              # [C, 5, 5, Co]
+    rhsf = kd[::-1, ::-1, :, None]                     # [7, 7, Co, 1]
+    keff = jax.lax.conv_general_dilated(
+        lhs, rhsf, (1, 1), ((6, 6), (6, 6)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))    # [C, 11, 11, 1]
+    keff = jnp.transpose(keff[..., 0], (1, 2, 0))[..., None]  # [11,11,C,1]
+
+    # --- border-correction kernels (virtual conditioner rows -2/-1 and
+    # cols -2/-1 that the zero-extended main term wrongly includes).
+    # Row r=-2 of the virtual conditioner output reads only input row 0
+    # (kernel row 4); r=-1 reads rows 0-1 (kernel rows 3-4); drt kernel
+    # rows 0/1 pair with r=-2/-1 at output row 0. ---
+    wr = jnp.stack([_rowcomp(k1[4], kd[0]) + _rowcomp(k1[3], kd[1]),
+                    _rowcomp(k1[4], kd[1])])           # [2(y), 11(q), C]
+    wc0 = _rowcomp(k1[:, 4], kd[:, 0]) + _rowcomp(k1[:, 3], kd[:, 1])
+    wc1 = _rowcomp(k1[:, 4], kd[:, 1])
+    wc = jnp.stack([wc0, wc1], axis=1)                 # [11(p), 2(x), C]
+
+    # corner (rows AND cols virtual — double-subtracted, add back once)
+    def cc_term(y, x):
+        acc = jnp.zeros((c,), k1.dtype)
+        for j in range(y, 2):
+            for k in range(x, 2):
+                acc = acc + jnp.einsum("o,io->i", kd[j, k],
+                                       k1[y + 4 - j, x + 4 - k])
+        return acc
+    wcc = jnp.stack([jnp.stack([cc_term(0, 0), cc_term(0, 1)]),
+                     jnp.stack([cc_term(1, 0), cc_term(1, 1)])])  # [2,2,C]
+
+    # conditioner bias flowing through the drt window, clipped to the
+    # in-bounds region: a geometry-dependent [h5, w5] constant map
+    k2b1 = jnp.einsum("abo,o->ab", kd, b1)
+    ones = jnp.ones((1, map_h, map_w, 1), k1.dtype)
+    b1map = jax.lax.conv_general_dilated(
+        ones, k2b1[..., None, None], (5, 5), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, ..., 0]
+
+    return {"k_sa": k_sa, "b_sa": b_sa, "keff": keff, "wr": wr, "wc": wc,
+            "wcc": wcc, "b1map": b1map, "bd": kdb[0]}
+
+
+def apply_fused_cond_head(h, fused, dtype):
+    """Apply the composed conditioner+head to the ConvLSTM state ``h``
+    [N, H, W, C].  Returns (stop_logit [N, 1] f32, amap [N, H, W] f32,
+    drt_raw [N, h5, w5] f32 — the pre-relu drt_layer_1 output to feed
+    :meth:`PredictHead.finish_duration`)."""
+    n = h.shape[0]
+    # f32 normally (the head's documented exit precision), f64 when the
+    # whole computation runs double (the exactness tests)
+    hi_t = jnp.promote_types(jnp.float32, h.dtype)
+    hc = h.astype(dtype)
+    sa = conv2d(hc, fused["k_sa"], padding=((2, 2), (2, 2)), dtype=dtype)
+    sa = sa.astype(hi_t) + fused["b_sa"]
+    stop_logit = jnp.mean(sa[..., 0].reshape(n, -1), axis=-1, keepdims=True)
+    amap = nn.relu(sa[..., 1])                         # [N, H, W] f32
+
+    main = conv2d(hc, fused["keff"], strides=(5, 5),
+                  padding=((4, 2), (4, 2)),
+                  dtype=dtype)[..., 0].astype(hi_t)
+    # corrections run on tiny border strips — full precision throughout
+    h32 = h.astype(hi_t)
+    crow = conv2d(h32[:, :2], fused["wr"].astype(hi_t)[..., None],
+                  strides=(1, 5),
+                  padding=((0, 0), (4, 2)))[:, 0, :, 0]      # [N, w5]
+    ccol = conv2d(h32[:, :, :2], fused["wc"].astype(hi_t)[..., None],
+                  strides=(5, 1),
+                  padding=((4, 2), (0, 0)))[:, :, 0, 0]      # [N, h5]
+    ccorn = jnp.einsum("nyxc,yxc->n", h32[:, :2, :2], fused["wcc"])
+    d = main + fused["b1map"][None] + fused["bd"]
+    d = d.at[:, 0, :].add(-crow)
+    d = d.at[:, :, 0].add(-ccol)
+    d = d.at[:, 0, 0].add(ccorn)
+    return stop_logit, amap, d

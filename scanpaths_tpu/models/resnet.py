@@ -18,6 +18,16 @@ Pretrained weights: `load_torch_state_dict` converts a torchvision-era
 parameter tree (OIHW->HWIO transpose, BN stats into ``batch_stats``).
 With no checkpoint on disk the backbone initializes with the reference
 scheme: He-normal convs, unit-gamma BN (resnet.py:113-119).
+
+Acquisition (the reference fetches the same file through model_zoo,
+AiR/models/resnet.py:179 ``resnet50(pretrained=True)``):
+
+    wget https://download.pytorch.org/models/resnet50-19c8e357.pth
+    python -m scanpaths_tpu.cli.train --checkpoint resnet50-19c8e357.pth ...
+
+The 8-hex suffix in the filename is the sha256 prefix (torchvision's
+integrity scheme); :func:`verify_torchvision_sha` checks it before
+loading and the trainer refuses a corrupted file.
 """
 
 from __future__ import annotations
@@ -29,6 +39,25 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def verify_torchvision_sha(path: str) -> bool:
+    """Torchvision checkpoint filenames embed the first 8 hex chars of
+    the file's sha256 (``resnet50-19c8e357.pth``).  Returns True when
+    the file content matches its name's digest; files without the
+    ``-hex8`` pattern pass trivially (custom checkpoints)."""
+    import hashlib
+    import os
+    import re
+
+    m = re.search(r"-([0-9a-f]{8})\.pth$", os.path.basename(path))
+    if not m:
+        return True
+    digest = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            digest.update(chunk)
+    return digest.hexdigest().startswith(m.group(1))
 
 
 def he_conv_init(key, shape, dtype=jnp.float32):

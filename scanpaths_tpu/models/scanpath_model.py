@@ -42,7 +42,9 @@ from .components import (
     SemanticAttention,
     SpatialAttention,
     XGates,
+    apply_fused_cond_head,
     dense_init,
+    fuse_cond_head,
     xavier_conv_init,
 )
 from .resnet import DilatedResNet50
@@ -66,6 +68,14 @@ class ScanpathModel(nn.Module):
     # ability to run much larger train batches (batch 64 at full
     # geometry needs 21.5G HBM without remat — over the 16G chip)
     remat: bool = False
+    # evaluate the conditioner+head chain via exact kernel composition
+    # (components.fuse_cond_head): the reference applies predict_head to
+    # the 5x5 conditioner output with no nonlinearity in between and
+    # every head consumer is a linear 512->1 conv, so the per-step
+    # 512->512 channel mixing (~35% of model FLOPs) folds into three
+    # tiny 512->1 convs hoisted-composed once per forward.  Exact up to
+    # float reassociation (tests/test_fused_head.py); same checkpoint.
+    fuse_head: bool = True
 
     @property
     def hw(self) -> int:
@@ -92,7 +102,8 @@ class ScanpathModel(nn.Module):
         self.conditioner = Conditioner(mode=mode, embed=self.embed,
                                        num_heads=self.num_categories,
                                        dtype=self.dtype)
-        self.head = PredictHead(self.map_h, self.map_w, dtype=self.dtype)
+        self.head = PredictHead(self.map_h, self.map_w, embed=self.embed,
+                                dtype=self.dtype)
 
     # -- feature extraction -------------------------------------------------
 
@@ -143,7 +154,22 @@ class ScanpathModel(nn.Module):
 
     # -- decode step --------------------------------------------------------
 
-    def _step(self, carry, _):
+    def _fused_head_out(self, h, fu):
+        """One stream's fused conditioner+head evaluation."""
+        n = h.shape[0]
+        if self.task == "coco":
+            # per-sample composed kernels (gathered from the bank)
+            def one(hi, fi):
+                sl, am, d = apply_fused_cond_head(hi[None], fi, self.dtype)
+                return sl[0], am[0], d[0]
+            stop_logit, amap, d = jax.vmap(one)(h, fu)
+        else:
+            stop_logit, amap, d = apply_fused_cond_head(h, fu, self.dtype)
+        mu, sigma2 = self.head.finish_duration(d)
+        z = jnp.concatenate([stop_logit, amap.reshape(n, -1)], axis=-1)
+        return z, mu, sigma2, amap.astype(self.dtype)
+
+    def _step(self, carry, _, fused=None):
         n = carry["h"].shape[0]
         step = carry["step"]
         valid = jnp.arange(self.seq_len + 1) <= step
@@ -158,12 +184,16 @@ class ScanpathModel(nn.Module):
             signals.append((smem.reshape(n, self.map_h, self.map_w), cmem))
 
         h, c = self.lstm(carry["xg"], carry["h"], carry["c"], signals)
-        feats = self.conditioner(h, carry.get("task_ids"))
+
+        if fused is not None:
+            heads = [self._fused_head_out(h, fu) for fu in fused]
+        else:
+            feats = self.conditioner(h, carry.get("task_ids"))
+            heads = [self.head(feat) for feat in feats]
 
         outs = []
         new_streams = []
-        for feat, stream in zip(feats, carry["streams"]):
-            z, mu, sigma2, amap = self.head(feat)
+        for (z, mu, sigma2, amap), stream in zip(heads, carry["streams"]):
             outs.append({"z": z, "mu": mu, "sigma2": sigma2, "amap": amap})
             entry = self._new_stream_entry(amap, carry["visual"])
             new_streams.append(self._write(stream, entry, step + 1))
@@ -212,7 +242,23 @@ class ScanpathModel(nn.Module):
         if self.task == "coco":
             carry["task_ids"] = task_ids
 
-        body = lambda mdl, c, xs: mdl._step(c, xs)  # noqa: E731
+        fused = None
+        if self.fuse_head:
+            # hoisted once per forward (params-only): composed
+            # conditioner+head kernels, one entry per stream
+            head_raw = self.head.raw()
+            ks = self.conditioner.kernels()
+            if self.task == "coco":
+                bank_k, bank_b = ks[0]
+                fb = jax.vmap(lambda k, b: fuse_cond_head(
+                    k, b, head_raw, self.map_h, self.map_w))(bank_k, bank_b)
+                fused = [jax.tree.map(lambda x: x[task_ids], fb)]
+            else:
+                fused = [fuse_cond_head(k, b, head_raw,
+                                        self.map_h, self.map_w)
+                         for (k, b) in ks]
+
+        body = lambda mdl, c, xs: mdl._step(c, xs, fused)  # noqa: E731
         if self.remat:
             body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body,
@@ -282,12 +328,13 @@ class JointScanpathModel(nn.Module):
     dtype: Any = jnp.float32
     backbone_layers: tuple = (3, 4, 6, 3)
     remat: bool = False
+    fuse_head: bool = True
 
     def setup(self):
         kw = dict(seq_len=self.seq_len, map_h=self.map_h, map_w=self.map_w,
                   embed=self.embed, num_categories=self.num_categories,
                   dtype=self.dtype, backbone_layers=self.backbone_layers,
-                  remat=self.remat)
+                  remat=self.remat, fuse_head=self.fuse_head)
         self.backbone = DilatedResNet50(layers=self.backbone_layers,
                                         dtype=self.dtype, remat=self.remat)
         self.osie = ScanpathModel(task="osie", **kw)

@@ -175,9 +175,16 @@ def available() -> bool:
     into the Pallas kernel trace and materializes the kernel's iotas
     as captured constants, which Mosaic rejects.)  Retries once
     (remote-compile backends can flake transiently) and logs any
-    failure so the fallback stays diagnosable."""
-    import concurrent.futures
+    failure so the fallback stays diagnosable.
+
+    The probe thread is a DAEMON with a result queue: if a remote
+    backend hangs the probe past the timeout, the process falls back
+    to the XLA path and is never blocked on thread join (a
+    ThreadPoolExecutor context manager would wait on the hung worker
+    in shutdown and defeat the timeout)."""
+    import queue
     import sys
+    import threading
 
     try:
         if jax.devices()[0].platform != "tpu":
@@ -186,12 +193,24 @@ def available() -> bool:
         return False
     last = None
     for _ in range(2):
+        q: queue.Queue = queue.Queue(maxsize=1)
+
+        def run(q=q):
+            try:
+                q.put(("ok", _probe_once()))
+            except Exception as e:  # noqa: BLE001
+                q.put(("err", e))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
         try:
-            with concurrent.futures.ThreadPoolExecutor(1) as ex:
-                if ex.submit(_probe_once).result(timeout=600):
-                    return True
-        except Exception as e:  # noqa: BLE001
-            last = e
+            kind, val = q.get(timeout=600)
+        except queue.Empty:
+            last = TimeoutError("pallas probe exceeded 600s")
+            continue
+        if kind == "ok" and val:
+            return True
+        last = val if kind == "err" else RuntimeError("probe returned False")
     print(f"[pallas_nw] probe failed, using the XLA NW path: "
           f"{type(last).__name__}: {last}", file=sys.stderr)
     return False

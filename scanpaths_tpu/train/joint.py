@@ -155,7 +155,7 @@ class JointTrainer:
         if args.resume_dir == "":
             with open(join(self.log_dir, "hparams.json"), "w") as f:
                 json.dump(dict(vars(args)), f, indent=2)
-        self.logger = Logger(join(self.log_dir, "log_train.txt"))
+        self.logger = Logger(join(self.log_dir, "log_train.txt"))  # joint: INFO (new capability, no reference level)
 
         layers = tuple(int(x) for x in str(args.backbone_layers).split(","))
         self.model = JointScanpathModel(

@@ -22,6 +22,7 @@ import functools
 import json
 import os
 import shutil
+import sys
 from os.path import join
 from typing import Any
 
@@ -38,7 +39,7 @@ from ..metrics import evaluation as heval
 from ..models.scanpath_model import create_model
 from ..ops.sampling import random_sample, to_fix_vectors
 from ..utils.checkpointing import CheckpointManager, restore_pytree
-from ..utils.logger import Logger
+from ..utils.logger import Logger, task_log_level
 from ..utils.recording import RecordManager
 from . import steps
 from .mesh import make_mesh, replicated, shard_batch
@@ -55,8 +56,12 @@ class ScalarWriter:
         try:
             from torch.utils.tensorboard import SummaryWriter
             self.tb = SummaryWriter(log_dir=log_dir)
-        except Exception:
-            pass
+        except Exception as e:
+            # say so ONCE instead of silently dropping the TB stream
+            # (scalars.jsonl still records everything)
+            print(f"[ScalarWriter] TensorBoard unavailable ({type(e).__name__}"
+                  f": {e}); scalars go to scalars.jsonl only",
+                  file=sys.stderr)
 
     def add_scalar(self, tag: str, value, step: int):
         value = float(value)
@@ -193,7 +198,8 @@ class Evaluator(EvalCore):
         self.grid = grid_spec(args)
         self.log_dir = log_dir
         self.checkpoints_dir = join(log_dir, "checkpoints")
-        self.logger = Logger(join(log_dir, "log_test.txt"))
+        self.logger = Logger(join(log_dir, "log_test.txt"),
+                             level=task_log_level(args.task))
         self.mesh = make_mesh(args.mesh_size)
 
         trained_task = args.task
@@ -274,7 +280,8 @@ class Trainer(EvalCore):
         if args.resume_dir == "":
             with open(join(self.log_dir, "hparams.json"), "w") as f:
                 json.dump({k: v for k, v in vars(args).items()}, f, indent=2)
-        self.logger = Logger(join(self.log_dir, "log_train.txt"))
+        self.logger = Logger(join(self.log_dir, "log_train.txt"),
+                             level=task_log_level(args.task))
         self.logger.info("The args corresponding to training process are: ")
         for key, value in vars(args).items():
             self.logger.info(f"{key:20}: {value}")
@@ -386,10 +393,21 @@ class Trainer(EvalCore):
                           opt_state=opt_state, step=jnp.int32(0))
 
     def _load_backbone(self, params, batch_stats):
-        """Warm-start the ResNet-50 trunk from a torch state dict."""
+        """Warm-start the ResNet-50 trunk from a torch state dict.
+
+        Acquisition: the file the reference auto-downloads
+        (AiR/models/resnet.py:179) is
+        https://download.pytorch.org/models/resnet50-19c8e357.pth —
+        fetch it once and pass ``--checkpoint``; integrity is checked
+        against the sha256 prefix embedded in the filename."""
         import torch
 
-        from ..models.resnet import load_torch_state_dict
+        from ..models.resnet import load_torch_state_dict, \
+            verify_torchvision_sha
+        if not verify_torchvision_sha(self.args.checkpoint):
+            raise ValueError(
+                f"{self.args.checkpoint}: content does not match the "
+                "sha256 prefix in its filename — corrupted download?")
         sd = torch.load(self.args.checkpoint, map_location="cpu")
         bp, bs = load_torch_state_dict(
             {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")})

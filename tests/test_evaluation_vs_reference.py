@@ -1,11 +1,19 @@
 """Evaluation-sweep parity vs the EXECUTED reference: import
 OSIE/utils/evaluation.py (a namespace-package import from the read-only
-reference tree), shim its ``multimatch_gaze`` dependency with this
-framework's own MultiMatch implementation, and compare the full
-``evaluation``, ``human_evaluation`` and ``pairs_eval`` sweeps on the
-same random scanpath sets.  This executes the reference's grouping,
-NaN-row dropping, best-per-image selection, and normalization logic —
-nothing is hand-copied."""
+reference tree), shim its ``multimatch_gaze`` dependency (the package
+cannot be pip-installed offline), and compare the full ``evaluation``,
+``human_evaluation`` and ``pairs_eval`` sweeps on the same random
+scanpath sets.  This executes the reference's grouping, NaN-row
+dropping, best-per-image selection, and normalization logic — nothing
+is hand-copied.
+
+The shim is ``tests/mm_oracle.py`` — the package-faithful heap-Dijkstra
+implementation — while this framework's own sweep uses the production
+DP implementation (scanpaths_tpu/metrics/multimatch.py).  The two are
+structurally independent (see tests/test_multimatch_parity.py), so the
+MultiMatch columns here are NOT self-validated: agreement requires two
+different algorithms to produce identical numbers through the whole
+reference sweep."""
 
 import sys
 import types
@@ -13,16 +21,16 @@ import types
 import numpy as np
 import pytest
 
+import mm_oracle
 from scanpaths_tpu.core.grid import fix_vector
 from scanpaths_tpu.metrics import evaluation as ours
-from scanpaths_tpu.metrics import multimatch as our_mm
 from scanpaths_tpu.metrics.scanmatch import make_scanmatch_pair
 
 
 @pytest.fixture(scope="module")
 def ref_eval():
     shim = types.ModuleType("multimatch_gaze")
-    shim.docomparison = our_mm.docomparison
+    shim.docomparison = mm_oracle.docomparison
     sys.modules.setdefault("multimatch_gaze", shim)
     sys.path.insert(0, "/root/reference/OSIE")
     try:
@@ -103,7 +111,7 @@ def test_pairs_eval_matches_reference(ref_eval):
 @pytest.fixture()
 def ref_eval_air():
     shim = types.ModuleType("multimatch_gaze")
-    shim.docomparison = our_mm.docomparison
+    shim.docomparison = mm_oracle.docomparison
     sys.modules.setdefault("multimatch_gaze", shim)
     # the OSIE fixture may have cached a 'utils' namespace package
     for mod in [m for m in sys.modules if m.startswith("utils")]:
@@ -208,7 +216,7 @@ def test_air_rl_pair_functions_match_reference(ref_eval_air):
 @pytest.fixture()
 def ref_eval_coco():
     shim = types.ModuleType("multimatch_gaze")
-    shim.docomparison = our_mm.docomparison
+    shim.docomparison = mm_oracle.docomparison
     sys.modules.setdefault("multimatch_gaze", shim)
     for mod in [m for m in sys.modules if m.startswith("utils")]:
         del sys.modules[mod]

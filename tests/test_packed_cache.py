@@ -47,12 +47,35 @@ def test_packed_reuses_existing_store(tmp_path):
     paths = _write_images(tmp_path)
     cdir = str(tmp_path / "cache")
     PackedImageCache(cdir, paths, (24, 32))
-    files = {f: os.path.getmtime(join(cdir, f)) for f in os.listdir(cdir)}
+    # identity = inode + size (mtime is refreshed on every open — the
+    # prune() freshness marker), so a rebuild would change the inode
+    files = {f: (os.stat(join(cdir, f)).st_ino,
+                 os.stat(join(cdir, f)).st_size) for f in os.listdir(cdir)}
     cache2 = PackedImageCache(cdir, paths, (24, 32))
-    assert {f: os.path.getmtime(join(cdir, f))
+    assert {f: (os.stat(join(cdir, f)).st_ino,
+                os.stat(join(cdir, f)).st_size)
             for f in os.listdir(cdir)} == files  # nothing rebuilt
     np.testing.assert_array_equal(cache2.load(paths[0]),
                                   load_image(paths[0], 24, 32))
+
+
+def test_packed_prune_evicts_stale_keeps_fresh(tmp_path):
+    paths = _write_images(tmp_path)
+    cdir = str(tmp_path / "cache")
+    PackedImageCache(cdir, paths, (24, 32))
+    # an old orphaned store from a superseded fingerprint
+    stale_npy = join(cdir, "images_deadbeefdeadbeef.npy")
+    stale_json = join(cdir, "images_deadbeefdeadbeef.json")
+    open(stale_npy, "wb").close()
+    open(stale_json, "w").close()
+    old = 1.0  # epoch 1970 — far past any keep window
+    os.utime(stale_npy, (old, old))
+    os.utime(stale_json, (old, old))
+    removed = PackedImageCache.prune(cdir, keep_days=30)
+    assert sorted(removed) == ["images_deadbeefdeadbeef.json",
+                               "images_deadbeefdeadbeef.npy"]
+    # the freshly opened store survives
+    assert any(f.endswith(".npy") for f in os.listdir(cdir))
 
 
 def test_packed_fingerprint_invalidates(tmp_path):

@@ -125,3 +125,128 @@ def test_converter_covers_full_state_dict():
     want_shapes = jax.tree.map(lambda x: x.shape, variables["params"])
     got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, params)
     assert want_shapes == got_shapes
+
+
+# ---------------------------------------------------------------------------
+# Execute the REFERENCE's own backbone (not a test-local replica): import
+# /root/reference/OSIE/models/resnet.py, apply the reference's actual
+# dilate_resnet patch (baseline_attention.py:212-224, called unbound),
+# strip the classifier the way baseline.__init__ does (:193), and prove
+# our flax port + converter reproduce its stride-8 features.
+# ---------------------------------------------------------------------------
+
+def _ref_trunk(torch_module):
+    """Build the reference's dilated, stripped trunk from its own code."""
+    import importlib.util
+    import sys
+    import types
+
+    # baseline_attention.py:4 imports torchvision without using it;
+    # the package is absent here, so an empty shim suffices
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    # the reference imports mmcv only for weight-init helpers; shim them
+    if "mmcv" not in sys.modules:
+        mmcv_cnn = types.ModuleType("mmcv.cnn")
+        for fn in ("xavier_init", "constant_init", "kaiming_init",
+                   "normal_init"):
+            setattr(mmcv_cnn, fn, lambda *a, **k: None)
+        mmcv = types.ModuleType("mmcv")
+        mmcv.cnn = mmcv_cnn
+        sys.modules["mmcv"] = mmcv
+        sys.modules["mmcv.cnn"] = mmcv_cnn
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    ref_resnet = load("ref_osie_resnet",
+                      "/root/reference/OSIE/models/resnet.py")
+    # baseline_attention does `from models.resnet import resnet50`
+    models_pkg = types.ModuleType("models")
+    models_pkg.resnet = ref_resnet
+    sys.modules.setdefault("models", models_pkg)
+    sys.modules.setdefault("models.resnet", ref_resnet)
+    ref_ba = load("ref_osie_baseline",
+                  "/root/reference/OSIE/models/baseline_attention.py")
+
+    resnet = ref_resnet.resnet50(pretrained=False)
+    # dilate_resnet never touches self — call it unbound on the class
+    ref_ba.baseline.dilate_resnet(None, resnet)
+    trunk = torch_module.nn.Sequential(*list(resnet.children())[:-2])
+    return resnet, trunk
+
+
+def test_port_matches_executed_reference_backbone():
+    torch.manual_seed(3)
+    resnet, trunk = _ref_trunk(torch)
+    for m in resnet.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.3, 0.3)
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    trunk.eval()
+
+    x = torch.randn(2, 3, 240, 320)
+    with torch.no_grad():
+        want = trunk(x).numpy()                    # [2, 2048, 30, 40]
+
+    sd = {k: v.numpy() for k, v in resnet.state_dict().items()
+          if not k.startswith("fc.")}
+    params, stats = load_torch_state_dict(sd)
+    flax_model = DilatedResNet50()
+    got = jax.jit(lambda v, y: flax_model.apply(v, y, train=False))(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))))
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+
+    assert got.shape == want.shape == (2, 2048, 30, 40)
+    # f32 conv accumulation-order differences on feature magnitudes of
+    # O(100): absolute tolerance scaled accordingly (observed max abs
+    # deviation 9e-3 over 4.9M elements, all on near-zero relu outputs)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-2)
+
+
+def _find_pretrained():
+    import os
+    cands = [os.environ.get("SCANPATHS_RESNET50", ""),
+             os.path.expanduser(
+                 "~/.cache/torch/hub/checkpoints/resnet50-19c8e357.pth"),
+             "/root/repo/resnet50-19c8e357.pth"]
+    for c in cands:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def test_real_pretrained_weights_port():
+    """When resnet50-19c8e357.pth is present (offline build boxes skip),
+    verify its sha, load it through BOTH the reference trunk and our
+    converter, and require feature agreement on a fixed input."""
+    path = _find_pretrained()
+    if path is None:
+        pytest.skip("resnet50-19c8e357.pth not available offline "
+                    "(see models/resnet.py docstring for acquisition)")
+    from scanpaths_tpu.models.resnet import verify_torchvision_sha
+    assert verify_torchvision_sha(path)
+
+    resnet, trunk = _ref_trunk(torch)
+    sd_t = torch.load(path, map_location="cpu")
+    resnet.load_state_dict(sd_t)
+    trunk.eval()
+    x = torch.linspace(-1, 1, 2 * 3 * 240 * 320).reshape(2, 3, 240, 320)
+    with torch.no_grad():
+        want = trunk(x).numpy()
+
+    params, stats = load_torch_state_dict(
+        {k: v.numpy() for k, v in sd_t.items() if not k.startswith("fc.")})
+    flax_model = DilatedResNet50()
+    got = jax.jit(lambda v, y: flax_model.apply(v, y, train=False))(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))))
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
