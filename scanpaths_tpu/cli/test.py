@@ -20,6 +20,7 @@ from os.path import join
 import numpy as np
 
 from ..core.config import parse_opt
+from ..ops.sampling import to_fix_vectors
 
 
 def dump_record(img_name, fix_vector, trial, extra):
@@ -62,6 +63,12 @@ def main(argv=None):
     evaluator._log_metric_tree_quiet(human_metrics, human_std)
 
     repeat = args.eval_repeat_num
+    device_eval = bool(getattr(args, "device_eval", False))
+    sweep = None
+    if device_eval:
+        from ..metrics.device_eval import DeviceSweep
+        spec_wd, spec_wod = evaluator._eval_specs(loader.dataset)
+        sweep = DeviceSweep(spec_wd, spec_wod)
     all_gt, all_pred, all_perf, all_alloc = [], [], [], []
     predict_results = []
     for batch in loader:
@@ -69,13 +76,28 @@ def main(argv=None):
         streams = (("good", True), ("poor", False)) if args.task == "air" \
             else ((None, None),)
         for stream, flag in streams:
-            preds = evaluator.decode_batch(batch, repeat, stream)
+            db, samples = evaluator.decode_batch_device(batch, repeat,
+                                                        stream)
+            preds = to_fix_vectors(samples)
             for r in range(repeat):
-                all_gt.extend(batch["fix_vectors"])
-                if args.task == "air":
-                    all_perf.extend(batch["performances"])
-                    all_alloc.extend([flag] * n)
-                all_pred.extend(preds[r * n:(r + 1) * n])
+                if sweep is not None:
+                    # pairwise metrics stay on device; the host only
+                    # aggregates (metrics/device_eval.py)
+                    if args.task == "air":
+                        sweep.add_batch_air(
+                            db["gt_fix"], db["gt_len"], db["gt_mask"],
+                            samples.fix[r], samples.fix_len[r],
+                            batch["performances"], flag)
+                    else:
+                        sweep.add_batch(db["gt_fix"], db["gt_len"],
+                                        db["gt_mask"], samples.fix[r],
+                                        samples.fix_len[r])
+                else:
+                    all_gt.extend(batch["fix_vectors"])
+                    if args.task == "air":
+                        all_perf.extend(batch["performances"])
+                        all_alloc.extend([flag] * n)
+                    all_pred.extend(preds[r * n:(r + 1) * n])
                 for i in range(n):
                     extra = {}
                     if args.task == "air":
@@ -87,7 +109,9 @@ def main(argv=None):
                         batch["img_names"][i], preds[r * n + i], r,
                         extra if args.task != "osie" else None))
 
-    if args.task == "air":
+    if sweep is not None:
+        cur_metrics, cur_std = sweep.result()
+    elif args.task == "air":
         cur_metrics, cur_std, _ = heval.evaluation_performance_related(
             all_gt, all_pred, all_perf, all_alloc)
     else:

@@ -149,6 +149,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "backprop (jax.checkpoint): ~1 extra forward "
                         "per step for O(1)-in-T activation memory, "
                         "enabling much larger training batches")
+    p.add_argument("--device_eval", type=str2bool, default=False,
+                   help="compute the validation/test metric suite with "
+                        "the device kernels (metrics/device_eval.py) "
+                        "instead of the host Python loops — same "
+                        "aggregation semantics, removes the CPU metric "
+                        "sweep from the eval hot path")
     p.add_argument("--cache_images", type=str2bool, default=True)
     p.add_argument("--packed_cache_dir", type=str, default="",
                    help="if set, build/serve an on-disk packed uint8 "

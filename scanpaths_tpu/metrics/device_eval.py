@@ -1,0 +1,114 @@
+"""Device-side full-suite validation sweep (``--device_eval``).
+
+The reference pays its validation wall-clock in Python metric loops
+(OSIE/utils/evaluation.py:151-282: MultiMatch + NW + Levenshtein + TDE
+per GT-subject x decode on the CPU) — the one pathology of the original
+that round 1 left alive on the eval path.  Every metric column already
+has a parity-tested device kernel (metrics/jax_metrics.py); this module
+computes the per-pair score rows as ONE jitted program per batch and
+keeps only the reference's cheap aggregation (NaN handling, per-image
+best groups, bucketing) on the host by reusing the HOST suite's own
+``_summarize``/``_bucketize`` — so the output tree is semantically
+identical by construction, proven in tests/test_device_eval.py.
+
+Row layout matches ``evaluation.pair_metrics``: [mm_vector,
+mm_direction, mm_length, mm_position, mm_duration, sm_wod, sm_wd, sed,
+stde].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import jax_metrics as jm
+from .evaluation import _bucketize, _summarize
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def pair_rows(spec_wd: jm.ScanMatchSpec, spec_wod: jm.ScanMatchSpec,
+              gt_fix, gt_len, pred_fix, pred_len):
+    """All nine pairwise metrics for every (prediction, GT subject)
+    pair, on device.
+
+    gt_fix: [N, S, L, 3] (durations in SECONDS), gt_len: [N, S];
+    pred_fix: [N, T, 3], pred_len: [N].  Returns [N, S, 9] float32
+    (garbage where the caller's subject mask is 0 — the host
+    aggregation filters by mask).
+    """
+    n, s = gt_fix.shape[:2]
+    gt_flat = gt_fix.reshape(n * s, *gt_fix.shape[2:])
+    gl = gt_len.reshape(n * s)
+    pr = jnp.repeat(pred_fix, s, axis=0)
+    pl = jnp.repeat(pred_len, s, axis=0)
+    mm = jm.multimatch_scores(gt_flat, gl, pr, pl)            # [N*S, 5]
+    wod = jm.scanmatch_scores(spec_wod, gt_flat, gl, pr, pl)
+    wd = jm.scanmatch_scores(spec_wd, gt_flat, gl, pr, pl)
+    sed = jm.sed_scores(gt_flat, gl, pr, pl)
+    stde = jm.stde_scores(gt_flat, gl, pr, pl)
+    rows = jnp.concatenate(
+        [mm, wod[:, None], wd[:, None], sed[:, None], stde[:, None]],
+        axis=-1)
+    return rows.reshape(n, s, 9).astype(jnp.float32)
+
+
+class DeviceSweep:
+    """Accumulates device-computed pair rows across validation batches
+    and reproduces ``evaluation(...)``'s aggregation exactly."""
+
+    def __init__(self, spec_wd: jm.ScanMatchSpec,
+                 spec_wod: jm.ScanMatchSpec):
+        self.spec_wd = spec_wd
+        self.spec_wod = spec_wod
+        self._rows: list[np.ndarray] = []      # one [G, 9] per group
+        self._buckets = []                     # air: (all, right, wrong)
+
+    def add_batch(self, gt_fix, gt_len, gt_mask, pred_fix, pred_len):
+        """One decode repeat of one batch: gt_* [N, S, ...] (mask 1 =
+        real subject), pred_* [N, ...]."""
+        rows = np.asarray(pair_rows(self.spec_wd, self.spec_wod,
+                                    jnp.asarray(gt_fix),
+                                    jnp.asarray(gt_len),
+                                    jnp.asarray(pred_fix),
+                                    jnp.asarray(pred_len)), np.float64)
+        mask = np.asarray(gt_mask).astype(bool)
+        for i in range(rows.shape[0]):
+            self._rows.append(rows[i][mask[i]])
+
+    def add_batch_air(self, gt_fix, gt_len, gt_mask, pred_fix, pred_len,
+                      performances, allocated):
+        """AiR bucketed variant: ``performances`` is a ragged list (per
+        image) of subject flags, ``allocated`` the stream flag of these
+        predictions.  Mirrors evaluation_performance_related's NaN-skip
+        + (perf == alloc) bucketing (reference AiR/utils/evaluation.py:
+        188-359)."""
+        rows = np.asarray(pair_rows(self.spec_wd, self.spec_wod,
+                                    jnp.asarray(gt_fix),
+                                    jnp.asarray(gt_len),
+                                    jnp.asarray(pred_fix),
+                                    jnp.asarray(pred_len)), np.float64)
+        mask = np.asarray(gt_mask).astype(bool)
+        for i in range(rows.shape[0]):
+            r = rows[i][mask[i]]
+            perfs = list(performances[i])
+            allr, right, wrong = [], [], []
+            for j in range(r.shape[0]):
+                if np.any(np.isnan(r[j])):
+                    continue
+                allr.append(r[j])
+                if perfs[j] and allocated:
+                    right.append(r[j])
+                elif (not perfs[j]) and (not allocated):
+                    wrong.append(r[j])
+            self._buckets.append((allr, right, wrong))
+
+    def result(self):
+        """(metrics, stds) with the host suite's exact aggregation."""
+        if self._buckets:
+            return _bucketize(self._buckets)
+        sizes = [len(r) for r in self._rows]
+        rows = np.concatenate([r for r in self._rows if len(r)], axis=0)
+        return _summarize(rows, sizes)

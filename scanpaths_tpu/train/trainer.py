@@ -149,9 +149,12 @@ class EvalCore:
             out["attention_maps"] = out["attention_maps"] * 0
         return shard_batch(self.mesh, out)
 
-    def decode_batch(self, batch, repeat_num: int, stream: str | None = None):
-        """Eval forward + ``repeat_num`` stochastic decodes; returns a
-        list (repeat-major) of per-image fixation vectors."""
+    def decode_batch_device(self, batch, repeat_num: int,
+                            stream: str | None = None):
+        """Eval forward + ``repeat_num`` stochastic decodes; returns the
+        device batch and the raw device SampleOut ([R, N, ...] leaves)
+        — the ``--device_eval`` sweep consumes these without any host
+        round-trip."""
         db = self._device_batch(batch, for_rl=True)
         out = self._eval_forward(self.state.params, self.state.batch_stats,
                                  db)
@@ -161,7 +164,63 @@ class EvalCore:
         sigma2 = out[f"{prefix}log_normal_sigma2"]
         self.key, sub = jax.random.split(self.key)
         samples = self._sampler(sub, probs, mu, sigma2, repeat_num)
+        return db, samples
+
+    def decode_batch(self, batch, repeat_num: int, stream: str | None = None):
+        """Eval forward + ``repeat_num`` stochastic decodes; returns a
+        list (repeat-major) of per-image fixation vectors."""
+        _, samples = self.decode_batch_device(batch, repeat_num, stream)
         return to_fix_vectors(samples)  # repeat-major flat list [R*N]
+
+    def _eval_specs(self, ds):
+        """Static ScanMatch specs for the device validation sweep, table
+        bounds derived from the split (never silently under-sized for
+        the GT; sampled rollouts with a TempBin expansion beyond the
+        w/-duration cap are prefix-truncated — durations are unbounded
+        LogNormals, so no static bound can cover every sample)."""
+        from ..metrics import jax_metrics as jm
+        max_wd = int(np.ceil(max(ds.wd_symbols_needed, 256) / 64) * 64)
+        spec_wd = jm.ScanMatchSpec(xres=self.grid.width,
+                                   yres=self.grid.height, temp_bin=50.0,
+                                   max_symbols=max_wd)
+        spec_wod = jm.ScanMatchSpec(
+            xres=self.grid.width, yres=self.grid.height, temp_bin=0.0,
+            max_symbols=max(self.grid.max_length, ds.pad_gt_len))
+        return spec_wd, spec_wod
+
+    def validation_device(self, iteration: int):
+        """The full nine-column validation sweep with every pairwise
+        metric computed on device (metrics/device_eval.py) — replaces
+        the reference's CPU metric loops on the hot path
+        (OSIE/utils/evaluation.py:151-282).  Aggregation semantics are
+        the host suite's own (shared _summarize/_bucketize)."""
+        from ..metrics.device_eval import DeviceSweep
+        args = self.args
+        repeat = args.eval_repeat_num
+        spec_wd, spec_wod = self._eval_specs(self.validation_loader.dataset)
+        sweep = DeviceSweep(spec_wd, spec_wod)
+        for batch in self.validation_loader:
+            if self.task == "air":
+                for stream, flag in (("good", True), ("poor", False)):
+                    db, samples = self.decode_batch_device(batch, repeat,
+                                                           stream)
+                    for r in range(repeat):
+                        sweep.add_batch_air(
+                            db["gt_fix"], db["gt_len"], db["gt_mask"],
+                            samples.fix[r], samples.fix_len[r],
+                            batch["performances"], flag)
+            else:
+                db, samples = self.decode_batch_device(batch, repeat)
+                for r in range(repeat):
+                    sweep.add_batch(db["gt_fix"], db["gt_len"],
+                                    db["gt_mask"], samples.fix[r],
+                                    samples.fix_len[r])
+        cur_metrics, cur_std = sweep.result()
+        self.logger.info(
+            f"Evaluation metrics (device sweep) after iteration "
+            f"{iteration}:")
+        self._log_metric_tree(cur_metrics, cur_std, iteration)
+        return cur_metrics
 
     def selection_metric(self, cur_metrics) -> float:
         if self.task == "air":
@@ -563,7 +622,9 @@ class Trainer(EvalCore):
 
         for epoch in range(start_epoch + 1, args.epoch):
             iteration = self.train_epoch(iteration, epoch)
-            cur_metrics = self.validation(iteration)
+            cur_metrics = (self.validation_device(iteration)
+                           if args.device_eval
+                           else self.validation(iteration))
             cur_metric = self.selection_metric(cur_metrics)
             self.writer.add_scalar("current metric", cur_metric, iteration)
             self.logger.info(f"{'current metric':10}: {cur_metric:.4f}")
