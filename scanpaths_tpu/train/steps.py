@@ -202,90 +202,7 @@ def rl_step(model, optimizer, state: TrainState, batch: dict, key,
     """One SCST update.  Returns (state, metrics)."""
 
     def loss_fn(params):
-        out = _eval_forward(model, params, state.batch_stats, batch)
-        if model.task == "air":
-            return _air_rl_loss(out, batch, key, cfg)
-        probs = out["all_actions_prob"]
-        mu = out["log_normal_mu"]
-        sigma2 = out["log_normal_sigma2"]
-        r = cfg.rl_sample_number
-        keys = jax.random.split(jax.random.fold_in(key, 1), r)
-        samples = jax.vmap(
-            lambda k: random_sample(k, probs, mu, sigma2, cfg.grid))(keys)
-
-        full = cfg.task == "osie"
-        grids = jax.lax.stop_gradient(_pair_grids(
-            cfg, batch["gt_fix"], batch["gt_len"], batch["gt_mask"],
-            samples.fix, samples.fix_len, full=full))
-        wod, wd = grids["wod"], grids["wd"]
-        gt_mask = batch["gt_mask"][None]                      # [1, N, S]
-        if full:
-            # exact reference pairs_eval row voiding: a (GT, rollout)
-            # pair is dropped when ANY MultiMatch similarity is NaN
-            # (< 3 fixations on either side, or a zero-duration pair —
-            # OSIE/utils/evaluation.py:296-299,327)
-            pair_ok = (gt_mask > 0) & ~jnp.isnan(grids["mm"]).any(-1)
-        else:
-            pair_ok = (gt_mask > 0) & ~jnp.isnan(wod) & ~jnp.isnan(wd)
-        pair_okf = pair_ok.astype(jnp.float32)
-        total = jnp.maximum(batch["gt_mask"].sum(-1)[None], 1.0)  # [1, N]
-
-        def grid_mean(x):
-            return jnp.where(jnp.isnan(x), 0., x * pair_okf).sum(-1) / total
-
-        wod_mean = grid_mean(wod)
-        wd_mean = grid_mean(wd)
-        reward = _hmean2(wod_mean, wd_mean)                   # [R, N]
-        ok = pair_ok.any(-1).astype(jnp.float32)              # [R, N]
-        baseline = (reward * ok).sum(0) / jnp.maximum(ok.sum(0), 1.0)
-        adv = (reward - baseline[None]) * ok
-
-        nla, nld = _reinforce_terms(samples, mu, sigma2)
-        loss = (nla * adv).sum() + (nld * adv).sum()
-        # loud (not silent) static-bound truncation accounting: fraction
-        # of rollouts whose TempBin expansion exceeds the NW table bound
-        overflow = jm.expansion_overflow(
-            cfg.spec_wd, samples.fix.reshape(-1, *samples.fix.shape[2:]),
-            samples.fix_len.reshape(-1))
-        metrics = {"rl_loss": loss, "reward_hmean": reward.mean(),
-                   "rollout_ok_frac": ok.mean(),
-                   "reward_overflow_frac":
-                       overflow.astype(jnp.float32).mean()}
-        if full:
-            # the reference's 11 metrics_for_reward/* scalars
-            # (OSIE/train.py:269-281): per-sample pairs_eval columns
-            # averaged over rollouts x samples (masked mean over the
-            # valid entries instead of the reference's reject-and-
-            # resample loop)
-            okf = ok
-            denom = jnp.maximum(okf.sum(), 1.0)
-
-            def col_mean(per_rn):
-                return (per_rn * okf).sum() / denom
-
-            mm_mean = grid_mean(
-                jnp.moveaxis(grids["mm"], -1, 0))             # [5, R, N]
-            big = jnp.float32(3.4e38)
-            sed_best = jnp.min(
-                jnp.where(pair_ok, grids["sed"], big), -1)
-            stde_best = jnp.max(
-                jnp.where(pair_ok, grids["stde"], -big), -1)
-            names = ["vector", "direction", "length", "position",
-                     "duration"]
-            for i, nm in enumerate(names):
-                metrics[f"metrics_for_reward/{nm}"] = col_mean(mm_mean[i])
-            metrics["metrics_for_reward/w/o duration"] = col_mean(wod_mean)
-            metrics["metrics_for_reward/w/ duration"] = col_mean(wd_mean)
-            metrics["metrics_for_reward/SED mean"] = col_mean(
-                grid_mean(grids["sed"]))
-            metrics["metrics_for_reward/STDE mean"] = col_mean(
-                grid_mean(grids["stde"]))
-            metrics["metrics_for_reward/SED best"] = col_mean(sed_best)
-            metrics["metrics_for_reward/STDE best"] = col_mean(stde_best)
-        else:
-            metrics["reward_wod"] = wod_mean.mean()
-            metrics["reward_wd"] = wd_mean.mean()
-        return loss, metrics
+        return rl_loss(model, params, state.batch_stats, batch, key, cfg)
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params)
@@ -295,6 +212,95 @@ def rl_step(model, optimizer, state: TrainState, batch: dict, key,
                               step=state.step + 1)
     return new_state, metrics
 
+
+def rl_loss(model, params, batch_stats, batch: dict, key, cfg: RLConfig):
+    """The SCST loss + metrics at fixed params (factored out of
+    ``rl_step`` so the estimator A/B harness, tools/rl_estimator_ab.py,
+    can differentiate it directly)."""
+    out = _eval_forward(model, params, batch_stats, batch)
+    if model.task == "air":
+        return _air_rl_loss(out, batch, key, cfg)
+    probs = out["all_actions_prob"]
+    mu = out["log_normal_mu"]
+    sigma2 = out["log_normal_sigma2"]
+    r = cfg.rl_sample_number
+    keys = jax.random.split(jax.random.fold_in(key, 1), r)
+    samples = jax.vmap(
+        lambda k: random_sample(k, probs, mu, sigma2, cfg.grid))(keys)
+
+    full = cfg.task == "osie"
+    grids = jax.lax.stop_gradient(_pair_grids(
+        cfg, batch["gt_fix"], batch["gt_len"], batch["gt_mask"],
+        samples.fix, samples.fix_len, full=full))
+    wod, wd = grids["wod"], grids["wd"]
+    gt_mask = batch["gt_mask"][None]                      # [1, N, S]
+    if full:
+        # exact reference pairs_eval row voiding: a (GT, rollout)
+        # pair is dropped when ANY MultiMatch similarity is NaN
+        # (< 3 fixations on either side, or a zero-duration pair —
+        # OSIE/utils/evaluation.py:296-299,327)
+        pair_ok = (gt_mask > 0) & ~jnp.isnan(grids["mm"]).any(-1)
+    else:
+        pair_ok = (gt_mask > 0) & ~jnp.isnan(wod) & ~jnp.isnan(wd)
+    pair_okf = pair_ok.astype(jnp.float32)
+    total = jnp.maximum(batch["gt_mask"].sum(-1)[None], 1.0)  # [1, N]
+
+    def grid_mean(x):
+        return jnp.where(jnp.isnan(x), 0., x * pair_okf).sum(-1) / total
+
+    wod_mean = grid_mean(wod)
+    wd_mean = grid_mean(wd)
+    reward = _hmean2(wod_mean, wd_mean)                   # [R, N]
+    ok = pair_ok.any(-1).astype(jnp.float32)              # [R, N]
+    baseline = (reward * ok).sum(0) / jnp.maximum(ok.sum(0), 1.0)
+    adv = (reward - baseline[None]) * ok
+
+    nla, nld = _reinforce_terms(samples, mu, sigma2)
+    loss = (nla * adv).sum() + (nld * adv).sum()
+    # loud (not silent) static-bound truncation accounting: fraction
+    # of rollouts whose TempBin expansion exceeds the NW table bound
+    overflow = jm.expansion_overflow(
+        cfg.spec_wd, samples.fix.reshape(-1, *samples.fix.shape[2:]),
+        samples.fix_len.reshape(-1))
+    metrics = {"rl_loss": loss, "reward_hmean": reward.mean(),
+               "rollout_ok_frac": ok.mean(),
+               "reward_overflow_frac":
+                   overflow.astype(jnp.float32).mean()}
+    if full:
+        # the reference's 11 metrics_for_reward/* scalars
+        # (OSIE/train.py:269-281): per-sample pairs_eval columns
+        # averaged over rollouts x samples (masked mean over the
+        # valid entries instead of the reference's reject-and-
+        # resample loop)
+        okf = ok
+        denom = jnp.maximum(okf.sum(), 1.0)
+
+        def col_mean(per_rn):
+            return (per_rn * okf).sum() / denom
+
+        mm_mean = grid_mean(
+            jnp.moveaxis(grids["mm"], -1, 0))             # [5, R, N]
+        big = jnp.float32(3.4e38)
+        sed_best = jnp.min(
+            jnp.where(pair_ok, grids["sed"], big), -1)
+        stde_best = jnp.max(
+            jnp.where(pair_ok, grids["stde"], -big), -1)
+        names = ["vector", "direction", "length", "position",
+                 "duration"]
+        for i, nm in enumerate(names):
+            metrics[f"metrics_for_reward/{nm}"] = col_mean(mm_mean[i])
+        metrics["metrics_for_reward/w/o duration"] = col_mean(wod_mean)
+        metrics["metrics_for_reward/w/ duration"] = col_mean(wd_mean)
+        metrics["metrics_for_reward/SED mean"] = col_mean(
+            grid_mean(grids["sed"]))
+        metrics["metrics_for_reward/STDE mean"] = col_mean(
+            grid_mean(grids["stde"]))
+        metrics["metrics_for_reward/SED best"] = col_mean(sed_best)
+        metrics["metrics_for_reward/STDE best"] = col_mean(stde_best)
+    else:
+        metrics["reward_wod"] = wod_mean.mean()
+        metrics["reward_wd"] = wd_mean.mean()
+    return loss, metrics
 
 def _air_rl_loss(out, batch, key, cfg: RLConfig):
     """AiR SCST: R rollouts per stream (good first, reference
