@@ -35,7 +35,12 @@ from scanpaths_tpu.models.port import (  # noqa: E402
 from scanpaths_tpu.models.scanpath_model import create_model  # noqa: E402
 
 
-def _load_ref_osie():
+REF_DIRS = {"osie": ("OSIE", "baseline_attention"),
+            "air": ("AiR", "baseline_attention"),
+            "coco": ("COCO_Search18", "baseline_attention_multihead")}
+
+
+def _load_ref(task: str):
     sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
     if "mmcv" not in sys.modules:
         mmcv_cnn = types.ModuleType("mmcv.cnn")
@@ -54,61 +59,101 @@ def _load_ref_osie():
         spec.loader.exec_module(mod)
         return mod
 
-    ref_resnet = load("ref_osie_resnet_m",
-                      "/root/reference/OSIE/models/resnet.py")
+    ref_dir, ba_name = REF_DIRS[task]
+    ref_resnet = load(f"ref_{task}_resnet_m",
+                      f"/root/reference/{ref_dir}/models/resnet.py")
     models_pkg = types.ModuleType("models")
     models_pkg.resnet = ref_resnet
-    sys.modules.setdefault("models", models_pkg)
-    sys.modules.setdefault("models.resnet", ref_resnet)
-    ref_ba = load("ref_osie_baseline_m",
-                  "/root/reference/OSIE/models/baseline_attention.py")
+    sys.modules["models"] = models_pkg          # rebind per task dir
+    sys.modules["models.resnet"] = ref_resnet
+    ref_ba = load(f"ref_{task}_baseline_m",
+                  f"/root/reference/{ref_dir}/models/{ba_name}.py")
     # keep baseline.__init__ offline: pretrained weights are overwritten
     # by load_state_dict right after construction anyway
     ref_ba.resnet50 = lambda pretrained=False: ref_resnet.resnet50(False)
     return ref_ba
 
 
-@pytest.fixture(scope="module")
-def forward_pair():
-    model = create_model("osie")            # full geometry, fused head
+def _build_pair(task: str, n: int):
+    """(reference outputs, our outputs, variables, sd) for ``task`` with
+    identical random-init weights and the same images."""
+    model = create_model(task)              # full geometry, fused head
     rng = np.random.default_rng(0)
-    images = rng.normal(size=(2, 240, 320, 3)).astype(np.float32)
+    images = rng.normal(size=(n, 240, 320, 3)).astype(np.float32)
+    init_kw = {}
+    ref_args = []
+    if task in ("air", "coco"):
+        amap = rng.uniform(0, 1, (n, 30, 40)).astype(np.float32)
+        init_kw["attention_maps"] = jnp.asarray(amap[..., None])
+        ref_args.append(torch.tensor(amap[:, None]))
+    if task == "coco":
+        tids = np.arange(n, dtype=np.int32) % 18
+        init_kw["task_ids"] = jnp.asarray(tids)
+        ref_args.append(torch.tensor(tids.astype(np.int64)))
     variables = jax.jit(lambda k: model.init(
-        k, jnp.zeros((1, 240, 320, 3)), train=False))(jax.random.PRNGKey(3))
+        k, jnp.zeros((1, 240, 320, 3)), train=False,
+        **{k2: v[:1] for k2, v in init_kw.items()}))(jax.random.PRNGKey(3))
 
     sd = export_reference_state_dict(variables["params"],
-                                     variables["batch_stats"], "osie")
+                                     variables["batch_stats"], task)
 
-    ref_ba = _load_ref_osie()
+    ref_ba = _load_ref(task)
     ref = ref_ba.baseline(embed_size=512, convLSTM_length=16, min_length=1)
-    missing, unexpected = ref.load_state_dict(
+    ref.load_state_dict(
         {k: torch.tensor(np.ascontiguousarray(v)) for k, v in sd.items()},
-        strict=True), None
+        strict=True)
     ref.eval()
 
     with torch.no_grad():
         want = ref.inference(
-            torch.tensor(np.transpose(images, (0, 3, 1, 2))))
+            torch.tensor(np.transpose(images, (0, 3, 1, 2))), *ref_args)
 
-    got = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+    got = jax.jit(lambda v, x: model.apply(v, x, train=False, **init_kw))(
         variables, jnp.asarray(images))
     return want, got, variables, sd
 
 
+@pytest.fixture(scope="module")
+def forward_pair():
+    return _build_pair("osie", 2)
+
+
+def _assert_outputs(want, got, keys, n, rtol=2e-3):
+    for name in keys:
+        w = want[name].numpy()
+        if name.endswith("all_actions_prob"):
+            w = w.reshape(n, 16, -1)
+        g = np.asarray(got[name])
+        assert g.shape == w.shape, name
+        np.testing.assert_allclose(g, w, rtol=rtol, atol=2e-5,
+                                   err_msg=name)
+
+
 def test_forward_matches_executed_reference(forward_pair):
     want, got, _, _ = forward_pair
-    pairs = [
-        ("all_actions_prob", np.asarray(got["all_actions_prob"]),
-         want["all_actions_prob"].numpy().reshape(2, 16, -1)),
-        ("log_normal_mu", np.asarray(got["log_normal_mu"]),
-         want["log_normal_mu"].numpy()),
-        ("log_normal_sigma2", np.asarray(got["log_normal_sigma2"]),
-         want["log_normal_sigma2"].numpy()),
-    ]
-    for name, g, w in pairs:
-        assert g.shape == w.shape, name
-        np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-5,
-                                   err_msg=name)
+    _assert_outputs(want, got, ("all_actions_prob", "log_normal_mu",
+                                "log_normal_sigma2"), 2)
+
+
+def test_air_forward_matches_executed_reference():
+    """Dual-stream AiR model (pos/neg signal gates, True/False head
+    convs) vs the executed AiR reference."""
+    want, got, _, _ = _build_pair("air", 1)
+    _assert_outputs(want, got,
+                    ("good_all_actions_prob", "good_log_normal_mu",
+                     "good_log_normal_sigma2", "poor_all_actions_prob",
+                     "poor_log_normal_mu", "poor_log_normal_sigma2"), 1)
+
+
+def test_coco_forward_matches_executed_reference():
+    """18-category head bank (gather+vmap fused kernels) vs the executed
+    COCO multihead reference's per-sample ModuleDict dispatch."""
+    want, got, _, _ = _build_pair("coco", 2)
+    # rtol 5e-3: the bank's vmapped per-sample conv reorders f32
+    # accumulation vs the reference's sequential dispatch (observed
+    # worst case 3e-3 on 2 of 38k probs)
+    _assert_outputs(want, got, ("all_actions_prob", "log_normal_mu",
+                                "log_normal_sigma2"), 2, rtol=5e-3)
 
 
 def test_checkpoint_port_roundtrip(forward_pair):
