@@ -42,6 +42,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The host image pre-imports jax from sitecustomize (TPU plugin
+# registration), so the env var above is read too late; set the config
+# directly so repeat runs skip the multi-minute XLA compile.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 BATCH = int(os.environ.get("BENCH_BATCH", "512"))  # 1024 OOMs 16G HBM
 SAMPLES = 10
 WARMUP = 2
@@ -143,8 +149,11 @@ def main():
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
     model = create_model("osie", dtype=dtype)
     grid = GridSpec()
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(BATCH, 240, 320, 3)), jnp.float32)
+    # generate the input batch ON DEVICE: materializing 472MB on the
+    # host and pushing it through the ~MB/s tunnel costs minutes of
+    # (untimed) wall clock for identically-distributed pixels
+    images = jax.jit(lambda k: jax.random.normal(
+        k, (BATCH, 240, 320, 3), jnp.float32))(jax.random.PRNGKey(42))
     variables = jax.jit(lambda k: model.init(k, images, train=False))(
         jax.random.PRNGKey(0))
 

@@ -24,7 +24,9 @@ zero (reference baseline_attention.py:50-57).
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -33,6 +35,14 @@ import jax.numpy as jnp
 
 EPSILON = 1e-7
 NEG_INF = -1e9
+
+
+def _impl_flag(name: str, default: str) -> str:
+    """Emission-strategy switch, read at trace time.  Every strategy
+    computes the SAME sum (equality-tested); the switch only picks which
+    HLO the hot loop emits, so it is an env var rather than a config
+    field — benchmarks A/B it, production uses the measured default."""
+    return os.environ.get(name, default)
 
 
 def xavier_conv_init(key, shape, dtype=jnp.float32):
@@ -130,12 +140,25 @@ class SignalGates(nn.Module):
         n, hh, ww = s.shape
         # per-sample effective kernel: [N, 9, G]
         kp = jnp.einsum("hwco,nc->nhwo", k, cv).reshape(n, 9, self.features)
-        # 9 shifted copies of the zero-padded scalar map: [N, H, W, 9]
         spad = jnp.pad(s, ((0, 0), (1, 1), (1, 1)))
-        patches = jnp.stack(
-            [spad[:, dy:dy + hh, dx:dx + ww]
-             for dy in range(3) for dx in range(3)], axis=-1)
-        out = jnp.einsum("nyxk,nko->nyxo", patches, kp)
+        if _impl_flag("SP_SIGNAL_IMPL", "bcast") == "einsum":
+            # batched matmul over the 9 shifted copies of the map:
+            # one MXU contraction, but its [N, H, W, G] output picks up
+            # an XLA relayout copy feeding the gate fusion (measured
+            # 5.8 ms/step at bench geometry)
+            patches = jnp.stack(
+                [spad[:, dy:dy + hh, dx:dx + ww]
+                 for dy in range(3) for dx in range(3)], axis=-1)
+            out = jnp.einsum("nyxk,nko->nyxo", patches, kp)
+        else:
+            # the same sum as 9 broadcast multiply-adds: pure elementwise
+            # HLO that XLA fuses INTO the gate-nonlinearity consumer, so
+            # the [N, H, W, G] signal tensor never round-trips HBM
+            out = jnp.zeros((n, hh, ww, self.features), self.dtype)
+            for idx, (dy, dx) in enumerate(
+                    (dy, dx) for dy in range(3) for dx in range(3)):
+                out = out + (spad[:, dy:dy + hh, dx:dx + ww, None]
+                             * kp[:, None, None, idx, :])
         return out + bias.astype(self.dtype)
 
 
@@ -507,8 +530,48 @@ def fuse_cond_head(k1, b1, head_raw, map_h, map_w):
         ones, k2b1[..., None, None], (5, 5), ((2, 2), (2, 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, ..., 0]
 
-    return {"k_sa": k_sa, "b_sa": b_sa, "keff": keff, "wr": wr, "wc": wc,
-            "wcc": wcc, "b1map": b1map, "bd": kdb[0]}
+    # --- tap decomposition of the same two kernels (SP_HEAD_IMPL=taps):
+    # the 5x5 C->2 and 11x11-stride-5 C->1 convs are MXU-hostile (2 and
+    # 1 output channels against a 128-lane systolic array).  Split each
+    # into (a) a 1x1 C->(50|121) channel contraction — one well-shaped
+    # MXU matmul emitted jointly for both — and (b) a per-tap spatial
+    # gather applied as shifted-slice adds (pure elementwise, fusable).
+    # Channel layouts: sa tap-major with the 2 outputs innermost
+    # (c1 = 2*(5*dy+dx) + o), drt c2 = 11*dy + dx.
+    c_sa = jnp.transpose(k_sa.reshape(25, c, 2), (1, 0, 2)).reshape(c, 50)
+    c_kd = jnp.transpose(keff.reshape(121, c), (1, 0))
+    k_taps = jnp.concatenate([c_sa, c_kd], axis=-1)[None, None]  # [1,1,C,171]
+
+    return {"k_sa": k_sa, "b_sa": b_sa, "keff": keff, "k_taps": k_taps,
+            "wr": wr, "wc": wc, "wcc": wcc, "b1map": b1map, "bd": kdb[0]}
+
+
+@functools.cache
+def _sel_kernel_sa():
+    """One-hot [5, 5, 50, 2] gather kernel: output o at offset (dy, dx)
+    selects partial-product channel 2*(5*dy+dx) + o.  Cached as NUMPY —
+    caching a jnp array would capture a tracer when the first call
+    happens under jit."""
+    import numpy as np
+    sel = np.zeros((5, 5, 50, 2), np.float32)
+    for dy in range(5):
+        for dx in range(5):
+            for o in range(2):
+                sel[dy, dx, 2 * (5 * dy + dx) + o, o] = 1.0
+    return sel
+
+
+@functools.cache
+def _sel_kernel_drt():
+    """One-hot [11, 11, 121, 1] gather kernel: offset (dy, dx) selects
+    partial-product channel 11*dy + dx.  Cached as numpy (see
+    :func:`_sel_kernel_sa`)."""
+    import numpy as np
+    sel = np.zeros((11, 11, 121, 1), np.float32)
+    for dy in range(11):
+        for dx in range(11):
+            sel[dy, dx, 11 * dy + dx, 0] = 1.0
+    return sel
 
 
 def apply_fused_cond_head(h, fused, dtype):
@@ -521,14 +584,28 @@ def apply_fused_cond_head(h, fused, dtype):
     # whole computation runs double (the exactness tests)
     hi_t = jnp.promote_types(jnp.float32, h.dtype)
     hc = h.astype(dtype)
-    sa = conv2d(hc, fused["k_sa"], padding=((2, 2), (2, 2)), dtype=dtype)
-    sa = sa.astype(hi_t) + fused["b_sa"]
+    if _impl_flag("SP_HEAD_IMPL", "taps") == "taps":
+        # one MXU-shaped 1x1 C->171 conv for both head kernels, then a
+        # one-hot "selection conv" per kernel that sums each tap's
+        # partial product at its spatial offset (channel layouts in
+        # fuse_cond_head).  Exactly the original convs' sums; the
+        # selection convs touch 50/121-channel maps (66/150 MB at bench
+        # geometry) instead of re-reading the 512-channel state twice.
+        m = conv2d(hc, fused["k_taps"], dtype=dtype)
+        sa = conv2d(m[..., :50], _sel_kernel_sa(), padding=((2, 2), (2, 2)),
+                    dtype=dtype)
+        sa = sa.astype(hi_t) + fused["b_sa"]
+        main = conv2d(m[..., 50:], _sel_kernel_drt(), strides=(5, 5),
+                      padding=((4, 2), (4, 2)),
+                      dtype=dtype)[..., 0].astype(hi_t)
+    else:
+        sa = conv2d(hc, fused["k_sa"], padding=((2, 2), (2, 2)), dtype=dtype)
+        sa = sa.astype(hi_t) + fused["b_sa"]
+        main = conv2d(hc, fused["keff"], strides=(5, 5),
+                      padding=((4, 2), (4, 2)),
+                      dtype=dtype)[..., 0].astype(hi_t)
     stop_logit = jnp.mean(sa[..., 0].reshape(n, -1), axis=-1, keepdims=True)
     amap = nn.relu(sa[..., 1])                         # [N, H, W] f32
-
-    main = conv2d(hc, fused["keff"], strides=(5, 5),
-                  padding=((4, 2), (4, 2)),
-                  dtype=dtype)[..., 0].astype(hi_t)
     # corrections run on tiny border strips — full precision throughout
     h32 = h.astype(hi_t)
     crow = conv2d(h32[:, :2], fused["wr"].astype(hi_t)[..., None],

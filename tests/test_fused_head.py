@@ -137,6 +137,32 @@ def test_model_fused_equals_unfused(task):
             rtol=2e-3, atol=2e-4, err_msg=f"{task}:{k}")
 
 
+def test_taps_sel_kernels_survive_first_call_under_jit():
+    """The cached one-hot selection kernels must be jit-safe: if the
+    FIRST call happens inside a trace and the cache holds a jnp array,
+    a tracer leaks and every later call fails (bench.py hit this)."""
+    from scanpaths_tpu.models import components as C
+    C._sel_kernel_sa.cache_clear()
+    C._sel_kernel_drt.cache_clear()
+    key = jax.random.PRNGKey(3)
+    k_h, k_c, k_hd = jax.random.split(key, 3)
+    h = jax.random.normal(k_h, (2, MAP_H, MAP_W, EMBED), jnp.float32)
+    k1 = _rand_params(k_c, (5, 5, EMBED, EMBED))
+    b1 = jnp.linspace(-0.3, 0.4, EMBED)
+    raw = _head_raw(k_hd, EMBED, jnp.float32)
+    fused = fuse_cond_head(k1, b1, raw, MAP_H, MAP_W)
+
+    # first call under jit (populates the cache inside the trace) ...
+    jitted = jax.jit(lambda x: apply_fused_cond_head(x, fused, jnp.float32))
+    stop_j, amap_j, d_j = jitted(h)
+    # ... then an eager call must still work and agree
+    stop_e, amap_e, d_e = apply_fused_cond_head(h, fused, jnp.float32)
+    np.testing.assert_allclose(np.asarray(stop_j), np.asarray(stop_e),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_j), np.asarray(d_e),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_grads_flow_to_all_cond_head_params():
     """Gradients must reach the conditioner and every head kernel
     through the composed path (the composition is differentiable)."""

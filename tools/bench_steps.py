@@ -21,6 +21,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sp_bench_cache")
 
 import jax
 import jax.numpy as jnp
+
+# sitecustomize pre-imports jax, so the env var above is read too late;
+# set the config directly so repeat runs hit the persistent cache
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 import numpy as np
 
 
