@@ -76,8 +76,8 @@ def main(argv=None):
         streams = (("good", True), ("poor", False)) if args.task == "air" \
             else ((None, None),)
         for stream, flag in streams:
-            db, samples = evaluator.decode_batch_device(batch, repeat,
-                                                        stream)
+            db, samples = evaluator.decode_batch_device(
+                batch, repeat, stream, global_batch=loader.batch_size)
             preds = to_fix_vectors(samples)
             for r in range(repeat):
                 if sweep is not None:

@@ -465,16 +465,37 @@ def collate(samples: list[dict]) -> dict:
 
 class Loader:
     """Minimal epoch loader: seeded shuffle, fixed batch size, optionally
-    dropping the trailing partial batch (jit-friendly static shapes)."""
+    dropping the trailing partial batch (jit-friendly static shapes).
+
+    Multi-host: pass ``process_index``/``process_count`` (defaulting to
+    this JAX process's) and every host derives the SAME global shuffle
+    from the shared seed, then loads only its contiguous
+    ``batch_size/process_count`` slice of each global batch — the slice
+    layout `jax.make_array_from_process_local_data` expects (assembled
+    in ``train.mesh.shard_batch``).  ``len()`` counts GLOBAL steps, so
+    all hosts run in lockstep.  A trailing partial batch (validation
+    tails) is loaded in full on every host and replicated."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        if process_count is None:
+            import jax
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} must divide evenly over "
+                f"{process_count} hosts")
+        self.process_index = process_index or 0
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -493,4 +514,9 @@ class Loader:
             batch_idx = idx[start:start + self.batch_size]
             if self.drop_last and len(batch_idx) < self.batch_size:
                 break
+            if (self.process_count > 1
+                    and len(batch_idx) == self.batch_size):
+                per_host = self.batch_size // self.process_count
+                lo = self.process_index * per_host
+                batch_idx = batch_idx[lo:lo + per_host]
             yield collate([self.dataset[int(i)] for i in batch_idx])

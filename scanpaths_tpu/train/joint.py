@@ -239,7 +239,8 @@ class JointTrainer:
                           step=jnp.int32(0))
 
     # ------------------------------------------------------------------
-    def _device_batch(self, batch: dict, for_rl: bool) -> dict:
+    def _device_batch(self, batch: dict, for_rl: bool,
+                      global_batch: int | None = None) -> dict:
         keys_sup = ("images", "scanpaths", "durations", "action_masks",
                     "duration_masks", "attention_maps", "performances",
                     "tasks")
@@ -255,7 +256,7 @@ class JointTrainer:
                 out[k] = np.asarray(v)
         if self.args.ablate_attention_info and "attention_maps" in out:
             out["attention_maps"] = out["attention_maps"] * 0
-        return shard_batch(self.mesh, out)
+        return shard_batch(self.mesh, out, global_batch=global_batch)
 
     @staticmethod
     def _round_robin(iters: dict):
@@ -276,7 +277,9 @@ class JointTrainer:
                        else self.tasks[t].train_loader) for t in TASKS}
         staged = prefetch(
             self._round_robin(loaders),
-            lambda tb: (tb[0], self._device_batch(tb[1], for_rl=rl)),
+            lambda tb: (tb[0], self._device_batch(
+                tb[1], for_rl=rl,
+                global_batch=loaders[tb[0]].batch_size)),
             depth=getattr(args, "prefetch", 2))
         for task, db in staged:
             ctx = self.tasks[task]
@@ -299,8 +302,10 @@ class JointTrainer:
 
     # ------------------------------------------------------------------
     def decode_batch(self, ctx: _TaskContext, batch, repeat_num: int,
-                     stream: str | None = None):
-        db = self._device_batch(batch, for_rl=True)
+                     stream: str | None = None,
+                     global_batch: int | None = None):
+        db = self._device_batch(batch, for_rl=True,
+                                global_batch=global_batch)
         out = ctx.eval_forward(self.state.params, self.state.batch_stats,
                                db)
         prefix = f"{stream}_" if stream else ""
@@ -322,7 +327,9 @@ class JointTrainer:
                 streams = (("good", True), ("poor", False)) \
                     if task == "air" else ((None, None),)
                 for stream, flag in streams:
-                    preds = self.decode_batch(ctx, batch, repeat, stream)
+                    preds = self.decode_batch(
+                        ctx, batch, repeat, stream,
+                        global_batch=ctx.validation_loader.batch_size)
                     for r in range(repeat):
                         all_gt.extend(batch["fix_vectors"])
                         if task == "air":

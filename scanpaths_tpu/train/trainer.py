@@ -131,7 +131,8 @@ class EvalCore:
                 jax.random.split(key, n)),
             static_argnums=(4,))
 
-    def _device_batch(self, batch: dict, for_rl: bool) -> dict:
+    def _device_batch(self, batch: dict, for_rl: bool,
+                      global_batch: int | None = None) -> dict:
         keys_sup = ("images", "scanpaths", "durations", "action_masks",
                     "duration_masks", "attention_maps", "performances",
                     "tasks")
@@ -147,15 +148,17 @@ class EvalCore:
                 out[k] = np.asarray(v)
         if self.args.ablate_attention_info and "attention_maps" in out:
             out["attention_maps"] = out["attention_maps"] * 0
-        return shard_batch(self.mesh, out)
+        return shard_batch(self.mesh, out, global_batch=global_batch)
 
     def decode_batch_device(self, batch, repeat_num: int,
-                            stream: str | None = None):
+                            stream: str | None = None,
+                            global_batch: int | None = None):
         """Eval forward + ``repeat_num`` stochastic decodes; returns the
         device batch and the raw device SampleOut ([R, N, ...] leaves)
         — the ``--device_eval`` sweep consumes these without any host
         round-trip."""
-        db = self._device_batch(batch, for_rl=True)
+        db = self._device_batch(batch, for_rl=True,
+                                global_batch=global_batch)
         out = self._eval_forward(self.state.params, self.state.batch_stats,
                                  db)
         prefix = f"{stream}_" if stream else ""
@@ -166,10 +169,13 @@ class EvalCore:
         samples = self._sampler(sub, probs, mu, sigma2, repeat_num)
         return db, samples
 
-    def decode_batch(self, batch, repeat_num: int, stream: str | None = None):
+    def decode_batch(self, batch, repeat_num: int,
+                     stream: str | None = None,
+                     global_batch: int | None = None):
         """Eval forward + ``repeat_num`` stochastic decodes; returns a
         list (repeat-major) of per-image fixation vectors."""
-        _, samples = self.decode_batch_device(batch, repeat_num, stream)
+        _, samples = self.decode_batch_device(batch, repeat_num, stream,
+                                              global_batch=global_batch)
         return to_fix_vectors(samples)  # repeat-major flat list [R*N]
 
     def _eval_specs(self, ds):
@@ -202,15 +208,18 @@ class EvalCore:
         for batch in self.validation_loader:
             if self.task == "air":
                 for stream, flag in (("good", True), ("poor", False)):
-                    db, samples = self.decode_batch_device(batch, repeat,
-                                                           stream)
+                    db, samples = self.decode_batch_device(
+                        batch, repeat, stream,
+                        global_batch=self.validation_loader.batch_size)
                     for r in range(repeat):
                         sweep.add_batch_air(
                             db["gt_fix"], db["gt_len"], db["gt_mask"],
                             samples.fix[r], samples.fix_len[r],
                             batch["performances"], flag)
             else:
-                db, samples = self.decode_batch_device(batch, repeat)
+                db, samples = self.decode_batch_device(
+                    batch, repeat,
+                    global_batch=self.validation_loader.batch_size)
                 for r in range(repeat):
                     sweep.add_batch(db["gt_fix"], db["gt_len"],
                                     db["gt_mask"], samples.fix[r],
@@ -503,7 +512,9 @@ class Trainer(EvalCore):
         depth = getattr(args, "prefetch", 2)
         if epoch < args.start_rl_epoch:
             for db in prefetch(self.train_loader,
-                               lambda b: self._device_batch(b, for_rl=False),
+                               lambda b: self._device_batch(
+                                   b, for_rl=False,
+                                   global_batch=self.train_loader.batch_size),
                                depth=depth):
                 self.state, metrics = self._sup_step(self.state, db)
                 iteration += 1
@@ -522,7 +533,9 @@ class Trainer(EvalCore):
             images_per_step = args.batch
         else:
             for db in prefetch(self.train_rl_loader,
-                               lambda b: self._device_batch(b, for_rl=True),
+                               lambda b: self._device_batch(
+                                   b, for_rl=True,
+                                   global_batch=self.train_rl_loader.batch_size),
                                depth=depth):
                 self.key, sub = jax.random.split(self.key)
                 self.state, metrics = self._rl_step(self.state, db, sub)
@@ -568,14 +581,18 @@ class Trainer(EvalCore):
             n = len(batch["fix_vectors"])
             if self.task == "air":
                 for stream, flag in (("good", True), ("poor", False)):
-                    preds = self.decode_batch(batch, repeat, stream)
+                    preds = self.decode_batch(
+                        batch, repeat, stream,
+                        global_batch=self.validation_loader.batch_size)
                     for r in range(repeat):
                         all_gt.extend(batch["fix_vectors"])
                         all_perf.extend(batch["performances"])
                         all_alloc.extend([flag] * n)
                         all_pred.extend(preds[r * n:(r + 1) * n])
             else:
-                preds = self.decode_batch(batch, repeat)
+                preds = self.decode_batch(
+                    batch, repeat,
+                    global_batch=self.validation_loader.batch_size)
                 for r in range(repeat):
                     all_gt.extend(batch["fix_vectors"])
                     all_pred.extend(preds[r * n:(r + 1) * n])

@@ -124,3 +124,90 @@ def test_rl_step_mesh_equivalence():
                                                  rel=2e-4, abs=1e-5)
     np.testing.assert_allclose(_leaves(s1.params), _leaves(s8.params),
                                rtol=5e-5, atol=5e-6)
+
+
+# ---------------------------------------------------------------------
+# Multi-host input plan (SURVEY §2.8): every host derives the same
+# global shuffle and loads only its contiguous per-host slice of each
+# global batch; shard_batch assembles the global array from the local
+# slice via jax.make_array_from_process_local_data.
+# ---------------------------------------------------------------------
+
+class _FakeDataset:
+    """Indexable yielding collate-able dicts whose payload encodes the
+    dataset index (so batch contents can be asserted exactly)."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"image": np.full((2, 3), i, np.float32),
+                "performance": np.int64(i)}
+
+
+def test_loader_host_slices_partition_each_global_batch():
+    from scanpaths_tpu.data.datasets import Loader
+
+    n, bsz, pc = 24, 8, 4
+    global_loader = Loader(_FakeDataset(n), batch_size=bsz, shuffle=True,
+                           seed=7, process_index=0, process_count=1)
+    host_loaders = [Loader(_FakeDataset(n), batch_size=bsz, shuffle=True,
+                           seed=7, process_index=pi, process_count=pc)
+                    for pi in range(pc)]
+    assert all(len(hl) == len(global_loader) for hl in host_loaders)
+
+    for gb, *hbs in zip(global_loader, *host_loaders):
+        got = np.concatenate([hb["performances"] for hb in hbs])
+        # concatenated contiguous host slices == the global batch, in
+        # order (the layout make_array_from_process_local_data expects)
+        np.testing.assert_array_equal(got, gb["performances"])
+        for hb in hbs:
+            assert hb["images"].shape[0] == bsz // pc
+
+
+def test_loader_partial_tail_loaded_in_full_on_every_host():
+    from scanpaths_tpu.data.datasets import Loader
+
+    n, bsz, pc = 10, 8, 4  # tail of 2 < bsz
+    tails = [list(Loader(_FakeDataset(n), batch_size=bsz, shuffle=False,
+                         process_index=pi, process_count=pc))[-1]
+             for pi in range(pc)]
+    for tb in tails:
+        np.testing.assert_array_equal(tb["performances"],
+                                      tails[0]["performances"])
+        assert tb["images"].shape[0] == 2
+
+
+def test_loader_rejects_indivisible_global_batch():
+    from scanpaths_tpu.data.datasets import Loader
+
+    with pytest.raises(ValueError):
+        Loader(_FakeDataset(8), batch_size=6, process_index=0,
+               process_count=4)
+
+
+def test_shard_batch_process_local_assembly_matches_device_put():
+    """The make_array_from_process_local_data path (forced via an
+    explicit process_count) must build arrays identical to the plain
+    device_put path, for both sharded full batches and replicated
+    partial tails."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    full = {"images": np.asarray(rng.normal(size=(16, 4, 4, 3)),
+                                 np.float32),
+            "gt_len": np.arange(16, dtype=np.int32)}
+    tail = {"images": np.asarray(rng.normal(size=(3, 4, 4, 3)),
+                                 np.float32)}
+
+    for batch, global_batch in ((full, 16), (tail, 16)):
+        via_local = shard_batch(mesh, dict(batch),
+                                global_batch=global_batch,
+                                process_count=1)
+        via_put = shard_batch(mesh, dict(batch))
+        for k in batch:
+            np.testing.assert_array_equal(np.asarray(via_local[k]),
+                                          np.asarray(via_put[k]))
+            assert via_local[k].sharding == via_put[k].sharding, k

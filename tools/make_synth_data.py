@@ -131,8 +131,13 @@ def make_all(root: str, seed: int = 0, **kw):
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sp_synth_data"
-    make_all(out)
-    print(out)
+    ap = argparse.ArgumentParser(
+        description="Generate the miniature synthetic OSIE/AiR/COCO "
+                    "dataset trees used by tests and smoke drives.")
+    ap.add_argument("out", nargs="?", default="/tmp/sp_synth_data",
+                    help="output root directory")
+    args = ap.parse_args()
+    make_all(args.out)
+    print(args.out)
