@@ -334,6 +334,7 @@ class SupervisedDataset:
         self.task = task if isinstance(task, TaskAdapter) else TASKS[task](cfg)
         self.records = self.task.load_records(split)
         self._images = _make_image_cache(cfg, self.task, self.records)
+        self._blur_rows = None  # lazy [mh*mw, mh*mw] table (native path)
 
     def __len__(self):
         return len(self.records)
@@ -354,6 +355,48 @@ class SupervisedDataset:
             "img_name": os.path.basename(self.task.image_path(rec)),
         }
         out.update(self.task.extras(rec))
+        return out
+
+    def get_batch(self, indices) -> dict:
+        """Batch assembly, equal to ``collate([self[i] for i in
+        indices])`` — but with the two per-sample hot loops (scanpath
+        tensorization, packed-image gather+normalize) running as
+        multi-threaded GIL-free C++ when the native library is up
+        (``scanpaths_tpu.native``; bit-identical, tests/test_native.py).
+        The reference's equivalent parallelism is torch DataLoader
+        workers (reference AiR/train.py:98-109)."""
+        from .. import native
+
+        if not native.available():
+            return collate([self[int(i)] for i in indices])
+        recs = [self.records[int(i)] for i in indices]
+        xs, ys, ds, origins = [], [], [], []
+        for rec in recs:
+            x, y, d = self.task.xyd_ms(rec)
+            xs.append(x), ys.append(y), ds.append(d)
+            origins.append(self.task.origin_hw(rec))
+        mh, mw = self.cfg.action_map
+        if self.cfg.blur_sigma and self._blur_rows is None:
+            self._blur_rows = native.make_blur_rows(
+                mh, mw, self.cfg.blur_sigma)
+        target, duration, amask, dmask = native.tensorize_batch(
+            xs, ys, ds, origins, self.cfg.max_length, mh, mw,
+            clamp_to_grid=self.task.clamp_to_grid(),
+            blur_rows=self._blur_rows)
+        paths = [self.task.image_path(rec) for rec in recs]
+        packed = self._images.packed
+        if packed is not None:
+            images = packed.gather(paths)
+        else:
+            images = np.stack([self._images.load(p, self.cfg.resize)
+                               for p in paths])
+        out = {"images": images, "scanpaths": target,
+               "durations": duration, "action_masks": amask,
+               "duration_masks": dmask,
+               "img_names": [os.path.basename(p) for p in paths]}
+        extras = [self.task.extras(rec) for rec in recs]
+        if extras and extras[0]:
+            out.update(_collate_fields(extras))
         return out
 
 
@@ -439,28 +482,35 @@ RAGGED_KEYS = ("fix_vectors", "performances", "img_name", "question_id",
                "task_name")
 
 
-def collate(samples: list[dict]) -> dict:
-    """Stack numeric fields to [N, ...] arrays; ragged fields to lists.
-    Key naming matches the reference collate_func (pluralized)."""
+_PLURAL = {"image": "images", "target_scanpath": "scanpaths",
+           "duration": "durations", "action_mask": "action_masks",
+           "duration_mask": "duration_masks",
+           "attention_map": "attention_maps", "img_name": "img_names",
+           "performance": "performances", "task": "tasks",
+           "question_id": "question_ids", "task_name": "task_names",
+           "fix_vectors": "fix_vectors", "performances": "performances",
+           "gt_fix": "gt_fix", "gt_len": "gt_len", "gt_mask": "gt_mask",
+           "gt_performance": "gt_performance"}
+
+
+def _collate_fields(samples: list[dict]) -> dict:
+    """Stack numeric fields to [N, ...] arrays; ragged fields to lists;
+    pluralize key names (matches the reference collate_func)."""
     out: dict[str, Any] = {}
-    first = samples[0]
-    plural = {"image": "images", "target_scanpath": "scanpaths",
-              "duration": "durations", "action_mask": "action_masks",
-              "duration_mask": "duration_masks",
-              "attention_map": "attention_maps", "img_name": "img_names",
-              "performance": "performances", "task": "tasks",
-              "question_id": "question_ids", "task_name": "task_names",
-              "fix_vectors": "fix_vectors", "performances": "performances",
-              "gt_fix": "gt_fix", "gt_len": "gt_len", "gt_mask": "gt_mask",
-              "gt_performance": "gt_performance"}
-    for key in first:
+    for key in samples[0]:
         vals = [s[key] for s in samples]
-        name = plural.get(key, key)
+        name = _PLURAL.get(key, key)
         if key in RAGGED_KEYS:
             out[name] = vals
         else:
             out[name] = np.stack(vals)
     return out
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack numeric fields to [N, ...] arrays; ragged fields to lists.
+    Key naming matches the reference collate_func (pluralized)."""
+    return _collate_fields(samples)
 
 
 class Loader:
@@ -487,9 +537,23 @@ class Loader:
         self.drop_last = drop_last
         self.epoch = 0
         if process_count is None:
-            import jax
-            process_index = jax.process_index()
-            process_count = jax.process_count()
+            # Resolve WITHOUT forcing backend init: jax.process_index()
+            # would bring up the platform (a remote hang risk on
+            # tunneled backends) just to learn what the distributed
+            # client already knows — multi-host jobs must call
+            # jax.distributed.initialize() before building loaders, and
+            # without a client the answer is (0, 1) by definition.
+            try:
+                from jax._src.distributed import global_state
+                multi = global_state.client is not None
+            except Exception:
+                multi = False
+            if multi:
+                import jax
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            else:
+                process_index, process_count = 0, 1
         if process_count > 1 and batch_size % process_count:
             raise ValueError(
                 f"batch_size {batch_size} must divide evenly over "
@@ -519,4 +583,8 @@ class Loader:
                 per_host = self.batch_size // self.process_count
                 lo = self.process_index * per_host
                 batch_idx = batch_idx[lo:lo + per_host]
-            yield collate([self.dataset[int(i)] for i in batch_idx])
+            get_batch = getattr(self.dataset, "get_batch", None)
+            if get_batch is not None:
+                yield get_batch(batch_idx)
+            else:
+                yield collate([self.dataset[int(i)] for i in batch_idx])

@@ -125,3 +125,16 @@ class PackedImageCache:
         row = self._mm[self._row[path]]
         return ((row.astype(np.float32) / 255.0 - IMAGENET_MEAN)
                 / IMAGENET_STD).astype(np.float32)
+
+    def gather(self, paths: list[str]) -> np.ndarray:
+        """Batched ``load``: [len(paths), H, W, 3] normalized float32.
+        Uses the native (C++, multi-threaded, GIL-free) gather when
+        available — bit-identical to the numpy path
+        (tests/test_native.py)."""
+        from .. import native
+
+        if native.available():
+            rows = np.array([self._row[p] for p in paths], np.int64)
+            return native.gather_normalize(self._mm, rows,
+                                           IMAGENET_MEAN, IMAGENET_STD)
+        return np.stack([self.load(p) for p in paths])

@@ -49,7 +49,17 @@ def shard_batch(mesh: Mesh, batch: dict, global_batch: int | None = None,
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
     n_dev = mesh.devices.size
-    pc = jax.process_count() if process_count is None else process_count
+    if process_count is None:
+        # same no-client-means-single-process resolution as data.Loader
+        # (avoids jax.process_count() as a backend-init trigger)
+        try:
+            from jax._src.distributed import global_state
+            pc = jax.process_count() if global_state.client is not None \
+                else 1
+        except Exception:
+            pc = 1
+    else:
+        pc = process_count
     out = {}
     for k, v in batch.items():
         if not (isinstance(v, np.ndarray) and v.ndim >= 1):

@@ -163,3 +163,66 @@ def test_ablate_attention_info_zeroes_maps(synth_root):
     core.args.ablate_attention_info = False
     db2 = core._device_batch(batch, for_rl=True)
     assert float(np.asarray(db2["attention_maps"]).sum()) > 0
+
+
+@pytest.mark.parametrize("task", ["osie", "air", "coco"])
+def test_get_batch_equals_per_sample_collate(synth_root, task, tmp_path):
+    """The native batch assembly (Loader -> get_batch) must equal the
+    per-sample numpy path (collate of __getitem__) exactly, for every
+    task — including with the packed image cache."""
+    from scanpaths_tpu import native
+    from scanpaths_tpu.data.datasets import collate
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cfg = cfg_for(synth_root, task)
+    cfg.packed_cache_dir = str(tmp_path / "packed")
+    ds = SupervisedDataset(task, cfg, split="train")
+    idxs = list(range(min(len(ds), 7)))
+    fast = ds.get_batch(idxs)
+    ref = collate([ds[i] for i in idxs])
+    assert set(fast) == set(ref)
+    for k in ref:
+        if isinstance(ref[k], np.ndarray):
+            np.testing.assert_array_equal(fast[k], ref[k], err_msg=k)
+        else:
+            assert fast[k] == ref[k], k
+
+
+def test_get_batch_blur_equals_per_sample(synth_root):
+    from scanpaths_tpu import native
+    from scanpaths_tpu.data.datasets import collate
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cfg = cfg_for(synth_root, "osie")
+    cfg.blur_sigma = 1.0
+    ds = SupervisedDataset("osie", cfg, split="train")
+    idxs = [0, 2, 1]
+    fast = ds.get_batch(idxs)
+    ref = collate([ds[i] for i in idxs])
+    np.testing.assert_array_equal(fast["scanpaths"], ref["scanpaths"])
+
+
+def test_loader_uses_get_batch_and_matches_disabled(synth_root,
+                                                    monkeypatch):
+    """One full Loader epoch with the native path on vs off must yield
+    identical batches in identical order."""
+    from scanpaths_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    ds = SupervisedDataset("osie", cfg_for(synth_root, "osie"),
+                           split="train")
+    on = list(Loader(ds, batch_size=4, shuffle=True, seed=3))
+    monkeypatch.setenv("SP_NATIVE", "0")
+    ds2 = SupervisedDataset("osie", cfg_for(synth_root, "osie"),
+                            split="train")
+    off = list(Loader(ds2, batch_size=4, shuffle=True, seed=3))
+    assert len(on) == len(off)
+    for a, b in zip(on, off):
+        for k in b:
+            if isinstance(b[k], np.ndarray):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            else:
+                assert a[k] == b[k], k

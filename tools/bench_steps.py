@@ -199,8 +199,9 @@ def bench_pipeline(which):
         return
     import tempfile
 
+    from scanpaths_tpu import native
     from scanpaths_tpu.data.datasets import (DataConfig, Loader,
-                                             ScanpathDataset)
+                                             SupervisedDataset)
     import tools.make_synth_data as msd
 
     root = "/tmp/sp_synth_bench"
@@ -212,9 +213,12 @@ def bench_pipeline(which):
         att_dir=None, action_map=(30, 40), resize=(240, 320),
         max_length=16)
 
-    def run(name, **kw):
+    def run(name, use_native, **kw):
+        # SP_NATIVE gates datasets.get_batch dynamically, so the same
+        # loader measures the numpy path vs the C++ batch assembly
+        os.environ["SP_NATIVE"] = "1" if use_native else "0"
         cfg = DataConfig(**base, **kw)
-        ds = ScanpathDataset("osie", cfg, split="train")
+        ds = SupervisedDataset("osie", cfg, split="train")
         loader = Loader(ds, batch_size=16, shuffle=True)
         # warm epoch (fills caches), timed epoch
         n = 0
@@ -226,12 +230,23 @@ def bench_pipeline(which):
             m += len(b["images"])
         dt = time.perf_counter() - t0
         print(json.dumps({"metric": f"input_pipeline_{name}_images_per_sec",
-                          "value": round(m / dt, 2), "images": m}))
+                          "value": round(m / dt, 2), "images": m,
+                          "native": bool(use_native and native.available())}))
 
-    run("jpeg", cache_images=False)
-    with tempfile.TemporaryDirectory() as td:
-        run("packed", cache_images=False, packed_cache_dir=td)
-    run("ram_cached", cache_images=True)
+    sp_native_before = os.environ.get("SP_NATIVE")
+    try:
+        run("jpeg", False, cache_images=False)
+        with tempfile.TemporaryDirectory() as td:
+            run("packed", False, cache_images=False, packed_cache_dir=td)
+            run("packed_native", True, cache_images=False,
+                packed_cache_dir=td)
+        run("ram_cached", False, cache_images=True)
+        run("tensorize_native", True, cache_images=True)
+    finally:
+        if sp_native_before is None:
+            os.environ.pop("SP_NATIVE", None)
+        else:
+            os.environ["SP_NATIVE"] = sp_native_before
 
 
 def bench_eval_sweep(which):
