@@ -436,7 +436,8 @@ class EvaluationDataset:
     def __len__(self):
         return len(self.keys)
 
-    def __getitem__(self, idx: int) -> dict:
+    def _sample_without_image(self, idx: int) -> tuple[dict, str]:
+        """Everything but the image tensor, plus the image path."""
         key = self.keys[idx]
         members = [self.records[i] for i in self.groups[key]]
         rec0 = members[0]
@@ -458,12 +459,11 @@ class EvaluationDataset:
 
         gt_fix, gt_len, gt_mask = pad_fix_vectors(
             fix_vectors, self.pad_gt_len, self.pad_subjects)
+        path = self.task.image_path(rec0)
         out = {
-            "image": self._images.load(self.task.image_path(rec0),
-                                       self.cfg.resize),
             "fix_vectors": fix_vectors,
             "gt_fix": gt_fix, "gt_len": gt_len, "gt_mask": gt_mask,
-            "img_name": os.path.basename(self.task.image_path(rec0)),
+            "img_name": os.path.basename(path),
         }
         out.update(self.task.extras(rec0))
         if self.task.name == "air":
@@ -471,6 +471,29 @@ class EvaluationDataset:
             perf_pad = np.zeros(self.pad_subjects, np.float32)
             perf_pad[:len(performances)] = np.asarray(performances, np.float32)
             out["gt_performance"] = perf_pad
+        return out, path
+
+    def __getitem__(self, idx: int) -> dict:
+        out, path = self._sample_without_image(idx)
+        out["image"] = self._images.load(path, self.cfg.resize)
+        return out
+
+    def get_batch(self, indices) -> dict:
+        """Batch assembly equal to ``collate([self[i] for i in
+        indices])``, with the image gather+normalize running as native
+        C++ when the packed store is present (the GT/fix-vector fields
+        stay host python — they are ragged and cheap)."""
+        from .. import native
+
+        samples, paths = zip(*(self._sample_without_image(int(i))
+                               for i in indices))
+        out = _collate_fields(list(samples))
+        packed = self._images.packed
+        if packed is not None and native.available():
+            out["images"] = packed.gather(list(paths))
+        else:
+            out["images"] = np.stack(
+                [self._images.load(p, self.cfg.resize) for p in paths])
         return out
 
 

@@ -226,3 +226,26 @@ def test_loader_uses_get_batch_and_matches_disabled(synth_root,
                 np.testing.assert_array_equal(a[k], b[k], err_msg=k)
             else:
                 assert a[k] == b[k], k
+
+
+@pytest.mark.parametrize("task", ["osie", "air", "coco"])
+def test_eval_get_batch_equals_per_sample_collate(synth_root, task,
+                                                  tmp_path):
+    from scanpaths_tpu.data.datasets import collate
+
+    cfg = cfg_for(synth_root, task)
+    cfg.packed_cache_dir = str(tmp_path / "packed")
+    ds = EvaluationDataset(task, cfg, split="validation")
+    idxs = list(range(min(len(ds), 5)))
+    fast = ds.get_batch(idxs)
+    ref = collate([ds[i] for i in idxs])
+    assert set(fast) == set(ref)
+    for k in ref:
+        if isinstance(ref[k], np.ndarray):
+            np.testing.assert_array_equal(fast[k], ref[k], err_msg=k)
+        elif k == "fix_vectors":
+            for a, b in zip(fast[k], ref[k]):
+                for fa, fb in zip(a, b):
+                    np.testing.assert_array_equal(fa, fb)
+        else:
+            assert fast[k] == ref[k], k
