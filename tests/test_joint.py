@@ -149,3 +149,82 @@ def test_joint_cli_end_to_end(synth_root, tmp_path):
     ])
     assert set(metrics["ScanMatch"]) == {"w/o duration", "with duration"}
     assert exists(join(log_dir, "test_predicts.json"))
+
+
+def test_joint_weight_decay_semantics_pinned():
+    """Pins the deliberate joint-training choice documented in
+    train/joint.py: with weight_decay > 0, ONE task's supervised step
+    updates the OTHER heads too (decay-only, grad = wd * p after the
+    zero task gradient), so "joint minus two tasks" differs from
+    single-task training exactly by that decay; with weight_decay = 0
+    the other heads are bit-unchanged."""
+    import types
+
+    import jax.numpy as jnp
+
+    from scanpaths_tpu.models.scanpath_model import (JointScanpathModel,
+                                                     TaskView)
+    from scanpaths_tpu.train import steps
+    from scanpaths_tpu.train.schedule import make_optimizer
+
+    rng = np.random.default_rng(0)
+    model = JointScanpathModel(seq_len=3, map_h=5, map_w=6, embed=128,
+                               backbone_layers=(1, 1, 1, 1))
+    imgs = jnp.asarray(rng.normal(size=(2, 40, 48, 3)), jnp.float32)
+    att = jnp.zeros((2, 5, 6, 1), jnp.float32)
+    tids = jnp.zeros((2,), jnp.int32)
+    variables = jax.jit(lambda k: model.init(k, imgs, att, tids,
+                                             method="init_all"))(
+        jax.random.PRNGKey(0))
+    a = 5 * 6 + 1
+    scan = np.zeros((2, 3, a), np.float32)
+    scan[:, :, 1] = 1.0
+    batch = {"images": imgs, "scanpaths": jnp.asarray(scan),
+             "durations": jnp.full((2, 3), 0.3, jnp.float32),
+             "action_masks": jnp.ones((2, 3), jnp.float32),
+             "duration_masks": jnp.ones((2, 3), jnp.float32)}
+    view = TaskView(model, "osie")
+
+    def step_with(wd):
+        # two steps: the reference warmup schedule gives LR exactly 0
+        # at optimizer count 0, so a 1-step test would mask every update
+        args = types.SimpleNamespace(
+            lr=1e-3, clip=12.5, weight_decay=wd, warmup_epoch=1,
+            start_rl_epoch=5, epoch=10, rl_lr_initial_decay=0.5)
+        opt = make_optimizer(args, steps_sup=10, steps_rl=10)
+        state = steps.TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=opt.init(variables["params"]), step=jnp.int32(0))
+        step = jax.jit(lambda s, b: steps.supervised_step(
+            view, opt, s, b, lambda_1=1.0))
+        state, _ = step(state, batch)
+        state, _ = step(state, batch)
+        return state.params
+
+    def flat(tree):
+        return np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree_util.tree_leaves(tree)])
+
+    p0 = variables["params"]
+    p_wd = step_with(5e-4)
+    p_nowd = step_with(0.0)
+
+    # no decay: other heads bit-unchanged by an OSIE step
+    for t in ("air", "coco"):
+        np.testing.assert_array_equal(flat(p_nowd[t]), flat(p0[t]))
+    # with decay: other heads move — by decay alone (shrink direction),
+    # while the task head moves by gradient + decay (differs from the
+    # no-decay update)
+    for t in ("air", "coco"):
+        assert np.abs(flat(p_wd[t]) - flat(p0[t])).max() > 0
+    assert np.abs(flat(p_wd["osie"]) - flat(p_nowd["osie"])).max() > 0
+    # the off-task update is exactly Adam steps on grad = wd * p:
+    # sign(update) = -sign(p) (Adam normalizes magnitude, direction
+    # survives); check well-away-from-zero params so two ~lr-sized
+    # steps cannot have crossed zero
+    d = flat(p_wd["air"]) - flat(p0["air"])
+    p = flat(p0["air"])
+    nz = np.abs(p) > 0.05
+    assert nz.sum() > 100
+    assert (np.sign(d[nz]) == -np.sign(p[nz])).all()
