@@ -57,18 +57,21 @@ def main(argv=None):
                                       split=split),
                     batch_size=args.batch, shuffle=False)
 
-    human_metrics, human_std, _ = heval.human_evaluation(loader,
-                                                         task=args.task)
-    evaluator.logger.info("The metrics for human performance are: ")
-    evaluator._log_metric_tree_quiet(human_metrics, human_std)
-
     repeat = args.eval_repeat_num
     device_eval = bool(getattr(args, "device_eval", False))
     sweep = None
     if device_eval:
-        from ..metrics.device_eval import DeviceSweep
+        from ..metrics.device_eval import (DeviceSweep,
+                                           human_evaluation_device)
         spec_wd, spec_wod = evaluator._eval_specs(loader.dataset)
         sweep = DeviceSweep(spec_wd, spec_wod)
+        human_metrics, human_std, _ = human_evaluation_device(
+            loader, spec_wd, spec_wod, task=args.task)
+    else:
+        human_metrics, human_std, _ = heval.human_evaluation(loader,
+                                                             task=args.task)
+    evaluator.logger.info("The metrics for human performance are: ")
+    evaluator._log_metric_tree_quiet(human_metrics, human_std)
     all_gt, all_pred, all_perf, all_alloc = [], [], [], []
     predict_results = []
     for batch in loader:

@@ -55,6 +55,105 @@ def pair_rows(spec_wd: jm.ScanMatchSpec, spec_wod: jm.ScanMatchSpec,
     return rows.reshape(n, s, 9).astype(jnp.float32)
 
 
+def human_rows(spec_wd: jm.ScanMatchSpec, spec_wod: jm.ScanMatchSpec,
+               gt_fix, gt_len) -> np.ndarray:
+    """All ordered subject-vs-subject metric rows for one batch of
+    images, on device: returns [N, S, S, 9] float64 with
+    ``M[n, a, b] = pair_metrics(subject_a, subject_b)``.
+
+    Built from S calls of :func:`pair_rows` (one compile for the whole
+    loop — the shapes never change) with subject ``i`` on the *pred*
+    side, so ``pair_rows(...)[n, j] = pair_metrics(subject_j,
+    subject_i)``; stacking those columns over ``i`` along axis 2 yields
+    the ordered-pair matrix without materializing an S*S cross product
+    on device.  Some pairwise columns are order-sensitive (STDE embeds
+    the FIRST argument's delays; MultiMatch aligns a->b), so the order
+    bookkeeping here is load-bearing.
+    """
+    gt_fix = jnp.asarray(gt_fix)
+    gt_len = jnp.asarray(gt_len)
+    s = gt_fix.shape[1]
+    cols = [np.asarray(pair_rows(spec_wd, spec_wod, gt_fix, gt_len,
+                                 gt_fix[:, i], gt_len[:, i]), np.float64)
+            for i in range(s)]
+    return np.stack(cols, axis=2)
+
+
+def human_evaluation_device(loader, spec_wd: jm.ScanMatchSpec,
+                            spec_wod: jm.ScanMatchSpec, task: str = "osie"):
+    """Device-kernel human inter-observer baseline — the drop-in
+    replacement for ``evaluation.human_evaluation`` under
+    ``--device_eval`` (same (metrics, stds, per_image) return tree,
+    aggregation shared with the host suite).
+
+    The reference computes this sweep with O(images x subjects^2)
+    Python metric loops before every training run and at the start of
+    every test run (OSIE/utils/evaluation.py:11-148); here every
+    pairwise metric row comes from the parity-tested device kernels and
+    the host keeps only the NaN bookkeeping and group means.
+    """
+    if task == "air":
+        return _human_evaluation_air_device(loader, spec_wd, spec_wod)
+    rows, group_sizes = [], []
+    per_image = {}
+    for batch in loader:
+        m = human_rows(spec_wd, spec_wod, batch["gt_fix"], batch["gt_len"])
+        mask = np.asarray(batch["gt_mask"]).astype(bool)
+        for bi in range(m.shape[0]):
+            ns = int(mask[bi].sum())
+            img_scores = []
+            for i in range(ns):
+                g = 0
+                for j in range(ns):
+                    if i == j:
+                        continue
+                    r = m[bi, i, j]
+                    rows.append(r)
+                    img_scores.append(r)
+                    g += 1
+                group_sizes.append(g)
+            per_image[batch["img_names"][bi]] = list(
+                np.asarray(img_scores, np.float64).mean(axis=0))
+    metrics, stds = _summarize(np.asarray(rows, np.float64), group_sizes,
+                               mm_dropna=False)
+    return metrics, stds, per_image
+
+
+def _human_evaluation_air_device(loader, spec_wd, spec_wod):
+    """AiR bucketed human baseline on device rows (reference
+    AiR/utils/evaluation.py:11-186: NaN pairs skipped entirely, buckets
+    by answer-correctness pairs, per-question good/poor means)."""
+    rows_by_group = []
+    per_qid = {}
+    for batch in loader:
+        m = human_rows(spec_wd, spec_wod, batch["gt_fix"], batch["gt_len"])
+        mask = np.asarray(batch["gt_mask"]).astype(bool)
+        for bi in range(m.shape[0]):
+            ns = int(mask[bi].sum())
+            performances = list(batch["performances"][bi])
+            allr, right, wrong = [], [], []
+            for i in range(ns):
+                for j in range(ns):
+                    if i == j:
+                        continue
+                    r = m[bi, i, j]
+                    if np.any(np.isnan(r)):
+                        continue
+                    allr.append(r)
+                    if performances[i] and performances[j]:
+                        right.append(r)
+                    elif not performances[i] and not performances[j]:
+                        wrong.append(r)
+            rows_by_group.append((allr, right, wrong))
+            good = list(np.asarray(right, np.float64).mean(0)) if right \
+                else [0.0] * 9
+            poor = list(np.asarray(wrong, np.float64).mean(0)) if wrong \
+                else [0.0] * 9
+            per_qid[batch["question_ids"][bi]] = {True: good, False: poor}
+    metrics, stds = _bucketize(rows_by_group)
+    return metrics, stds, per_qid
+
+
 class DeviceSweep:
     """Accumulates device-computed pair rows across validation batches
     and reproduces ``evaluation(...)``'s aggregation exactly."""

@@ -183,14 +183,20 @@ class EvalCore:
         bounds derived from the split (never silently under-sized for
         the GT; sampled rollouts with a TempBin expansion beyond the
         w/-duration cap are prefix-truncated — durations are unbounded
-        LogNormals, so no static bound can cover every sample)."""
+        LogNormals, so no static bound can cover every sample).
+
+        The bin resolution is the FIXED evaluation protocol (16x12 bins
+        over 320x240, reference AiR/train.py:216-218) — NOT the
+        configured image geometry: the reference hard-codes it, the
+        host suite mirrors that (evaluation.STIM_SHAPE), and the other
+        device kernels (SED/STDE/MultiMatch) already do too, so a
+        grid-derived spec would silently diverge from the host sweep
+        the moment someone trains at a non-default resolution."""
         from ..metrics import jax_metrics as jm
         max_wd = int(np.ceil(max(ds.wd_symbols_needed, 256) / 64) * 64)
-        spec_wd = jm.ScanMatchSpec(xres=self.grid.width,
-                                   yres=self.grid.height, temp_bin=50.0,
-                                   max_symbols=max_wd)
+        spec_wd = jm.ScanMatchSpec(temp_bin=50.0, max_symbols=max_wd)
         spec_wod = jm.ScanMatchSpec(
-            xres=self.grid.width, yres=self.grid.height, temp_bin=0.0,
+            temp_bin=0.0,
             max_symbols=max(self.grid.max_length, ds.pad_gt_len))
         return spec_wd, spec_wod
 
@@ -622,8 +628,17 @@ class Trainer(EvalCore):
 
     # ------------------------------------------------------------------
     def human_baseline(self):
-        metrics, stds, _ = heval.human_evaluation(self.validation_loader,
-                                                  task=self.task)
+        if getattr(self.args, "device_eval", False):
+            # O(images x subjects^2) pairwise rows on device kernels
+            # instead of the reference's host metric loops
+            from ..metrics.device_eval import human_evaluation_device
+            spec_wd, spec_wod = self._eval_specs(
+                self.validation_loader.dataset)
+            metrics, stds, _ = human_evaluation_device(
+                self.validation_loader, spec_wd, spec_wod, task=self.task)
+        else:
+            metrics, stds, _ = heval.human_evaluation(self.validation_loader,
+                                                      task=self.task)
         self.logger.info("The metrics for human performance are: ")
         self._log_metric_tree_quiet(metrics, stds)
         return metrics

@@ -96,6 +96,90 @@ def test_device_sweep_equals_host_evaluation(rng):
     assert_tree(want_s, got_s)
 
 
+def _assert_tree(a, b, path="", rtol=2e-4, atol=2e-5):
+    assert set(a) == set(b), path
+    for k in a:
+        if isinstance(a[k], dict):
+            _assert_tree(a[k], b[k], path + "/" + str(k), rtol, atol)
+        else:
+            np.testing.assert_allclose(
+                float(b[k]), float(a[k]), rtol=rtol, atol=atol,
+                err_msg=path + "/" + str(k))
+
+
+def test_device_human_evaluation_equals_host(rng):
+    """human_evaluation on device rows == the host sweep, including the
+    mm_dropna=False quirk (a <3-fixation subject NaNs the printed
+    MultiMatch human baseline) and the leave-one-out best groups."""
+    from scanpaths_tpu.metrics.device_eval import human_evaluation_device
+
+    batches = []
+    all_preds = []
+    for b in range(2):
+        gts, names = [], []
+        for i in range(3):
+            # one short subject exercises the NaN path
+            ls = [2 if (b == 1 and i == 0 and s == 2) else
+                  int(rng.integers(3, 9)) for s in range(4)]
+            gts.append([_grid_path(rng, l) for l in ls])
+            names.append(f"img_{b}_{i}.jpg")
+        gt_fix, gt_len, gt_mask, _, _ = _pad_batch(
+            gts, [_grid_path(rng, 5)] * len(gts))
+        batches.append({"fix_vectors": gts, "img_names": names,
+                        "gt_fix": gt_fix, "gt_len": gt_len,
+                        "gt_mask": gt_mask})
+        all_preds.extend(v for g in gts for v in g)
+
+    want_m, want_s, want_img = heval.human_evaluation(iter(batches))
+
+    spec_wd, spec_wod = _specs([b["fix_vectors"][i] for b in batches
+                                for i in range(3)], all_preds)
+    got_m, got_s, got_img = human_evaluation_device(
+        iter(batches), spec_wd, spec_wod)
+
+    _assert_tree(want_m, got_m)
+    _assert_tree(want_s, got_s)
+    assert set(want_img) == set(got_img)
+    for k in want_img:
+        np.testing.assert_allclose(got_img[k], want_img[k],
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_device_human_evaluation_equals_host_air(rng):
+    from scanpaths_tpu.metrics.device_eval import human_evaluation_device
+
+    gts, perfs, qids = [], [], []
+    for i in range(4):
+        subj = [_grid_path(rng, int(rng.integers(3, 9)))
+                for _ in range(4)]
+        gts.append(subj)
+        perfs.append([bool(rng.integers(0, 2)) for _ in subj])
+        qids.append(f"q{i}")
+    perfs[0] = [True, True, False, False]
+    perfs[1] = [False, False, False, False]  # empty 'right' bucket
+    gt_fix, gt_len, gt_mask, _, _ = _pad_batch(
+        gts, [_grid_path(rng, 5)] * len(gts))
+    batch = {"fix_vectors": gts, "performances": perfs,
+             "question_ids": qids, "gt_fix": gt_fix, "gt_len": gt_len,
+             "gt_mask": gt_mask}
+
+    want_m, want_s, want_q = heval.human_evaluation(iter([batch]),
+                                                    task="air")
+    spec_wd, spec_wod = _specs(gts, [v for g in gts for v in g])
+    got_m, got_s, got_q = human_evaluation_device(
+        iter([batch]), spec_wd, spec_wod, task="air")
+
+    for cat in ("all", "right_answer", "wrong_answer"):
+        _assert_tree(want_m[cat], got_m[cat], path=cat)
+        _assert_tree(want_s[cat], got_s[cat], path=cat)
+    assert set(want_q) == set(got_q)
+    for q in want_q:
+        for flag in (True, False):
+            np.testing.assert_allclose(got_q[q][flag], want_q[q][flag],
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"{q}/{flag}")
+
+
 def test_device_sweep_equals_host_air_bucketed(rng):
     gts, preds, perfs = [], [], []
     for i in range(5):

@@ -127,6 +127,37 @@ def test_cli_test_driver(trained_run):
     assert exists(join(log_dir, "log_test.txt"))
 
 
+def test_cli_test_driver_device_eval_matches_host(trained_run):
+    """The full test CLI under --device_eval: human baseline + metric
+    sweep on device kernels.  Same seed -> identical stochastic decodes
+    as the host-suite run above, so the metric trees must agree to
+    device-kernel tolerance — except the with-duration ScanMatch
+    column, where SAMPLED rollouts whose TempBin symbol expansion
+    overflows the static NW table cap are prefix-truncated on device
+    (the documented divergence, trainer._eval_specs): the untrained toy
+    model here samples wild LogNormal durations, so allow ~1% there."""
+    synth_root, log_root, log_dir = trained_run
+    from scanpaths_tpu.cli import test as cli_test
+
+    host = cli_test.main(_argv(synth_root, log_root,
+                               ("--evaluation_dir", log_dir)))
+    dev = cli_test.main(_argv(synth_root, log_root,
+                              ("--evaluation_dir", log_dir,
+                               "--device_eval", "True")))
+
+    def walk(a, b, path=""):
+        assert set(a) == set(b), path
+        for k in a:
+            if isinstance(a[k], dict):
+                walk(a[k], b[k], path + "/" + str(k))
+            else:
+                rtol = 1e-2 if k == "with duration" else 5e-4
+                np.testing.assert_allclose(
+                    float(b[k]), float(a[k]), rtol=rtol, atol=5e-5,
+                    err_msg=path + "/" + str(k))
+    walk(host, dev)
+
+
 def test_resume_restores_optimizer_and_record(trained_run):
     synth_root, log_root, log_dir = trained_run
     from scanpaths_tpu.core.config import parse_opt
