@@ -107,21 +107,39 @@ class ScanpathModel(nn.Module):
 
     # -- feature extraction -------------------------------------------------
 
-    def _features_from_map(self, amap, visual):
+    def _features_from_map(self, amap, visual, vismean=None):
         """Saliency/attention map [N, H, W] + visual [N, H, W, C] ->
         (embedded spatial [N, HW], embedded semantic [N, C]).
 
         Mirrors get_spatial_semantic / get_channel_semantic + relu +
-        embed (reference baseline_attention.py:226-236, 263-268)."""
-        prod = amap[..., None] * visual
-        spatial = nn.relu(jnp.mean(prod, axis=-1))          # [N, H, W]
+        embed (reference baseline_attention.py:226-236, 263-268).
+
+        The two reductions of the product ``amap (x) visual`` factor
+        exactly (up to float reassociation): the channel mean is
+        ``amap * mean_c(visual)`` — and ``mean_c(visual)`` is
+        step-invariant, hoisted once per forward (``vismean``) — while
+        the spatial mean is one ``[N, HW] @ [N, HW, C]`` contraction.
+        This runs once per scan step per stream, so skipping the
+        materialized [N, H, W, C] product saves its HBM round-trips in
+        the decode hot loop (SP_FEAT_IMPL=prod keeps the literal
+        two-mean emission; equality tested in tests/test_model.py)."""
+        from .components import _impl_flag
+        hw = self.map_h * self.map_w
+        if vismean is None or _impl_flag("SP_FEAT_IMPL", "factored") \
+                == "prod":
+            prod = amap[..., None] * visual
+            spatial = nn.relu(jnp.mean(prod, axis=-1))      # [N, H, W]
+            semantic = nn.relu(jnp.mean(prod, axis=(1, 2)))  # [N, C]
+        else:
+            spatial = nn.relu(amap * vismean)               # [N, H, W]
+            semantic = nn.relu(
+                jnp.einsum("nhw,nhwc->nc", amap, visual) / hw)
         spatial = self.spatial_embed(spatial.reshape(spatial.shape[0], -1))
-        semantic = nn.relu(jnp.mean(prod, axis=(1, 2)))     # [N, C]
         semantic = self.semantic_embed(semantic)
         return spatial, semantic
 
-    def _new_stream_entry(self, amap, visual):
-        spat, sem = self._features_from_map(amap, visual)
+    def _new_stream_entry(self, amap, visual, vismean=None):
+        spat, sem = self._features_from_map(amap, visual, vismean)
         return {
             "spat": spat,
             "spat_conv": self.spatial_att.project(spat),
@@ -195,7 +213,8 @@ class ScanpathModel(nn.Module):
         new_streams = []
         for (z, mu, sigma2, amap), stream in zip(heads, carry["streams"]):
             outs.append({"z": z, "mu": mu, "sigma2": sigma2, "amap": amap})
-            entry = self._new_stream_entry(amap, carry["visual"])
+            entry = self._new_stream_entry(amap, carry["visual"],
+                                           carry["vismean"])
             new_streams.append(self._write(stream, entry, step + 1))
 
         carry = dict(carry, h=h, c=c, streams=new_streams, step=step + 1)
@@ -228,7 +247,10 @@ class ScanpathModel(nn.Module):
             amap0 = attention_maps[..., 0].astype(self.dtype)
 
         n_streams = 2 if self.task == "air" else 1
-        entry0 = self._new_stream_entry(amap0, visual)
+        # step-invariant channel mean of the visual features (hoisted
+        # factor of the per-step spatial reduction, _features_from_map)
+        vismean = jnp.mean(visual, axis=-1)
+        entry0 = self._new_stream_entry(amap0, visual, vismean)
         streams = [self._init_stream(entry0, n) for _ in range(n_streams)]
 
         carry = {
@@ -236,6 +258,7 @@ class ScanpathModel(nn.Module):
             "c": jnp.zeros_like(visual),
             "xg": self.xgates(visual),
             "visual": visual,
+            "vismean": vismean,
             "streams": streams,
             "step": jnp.int32(0),
         }

@@ -62,6 +62,54 @@ def test_osie_shapes_and_softmax():
     assert not np.allclose(np.asarray(tout["actions"]).sum(-1), 1.0)
 
 
+def test_feature_extraction_impls_agree(monkeypatch):
+    """SP_FEAT_IMPL=factored (hoisted channel mean + one contraction)
+    must compute the same forward as the literal two-mean product path
+    — the factorization is exact up to float reassociation, checked
+    through the full T-step feedback loop (the amap re-enters the
+    attention history, so a real divergence would compound)."""
+    outs = {}
+    for impl in ("prod", "factored"):
+        monkeypatch.setenv("SP_FEAT_IMPL", impl)
+        # air exercises the attention-map input AND two streams
+        att = jnp.asarray(
+            np.abs(np.random.default_rng(3).normal(size=(N, MH, MW, 1))),
+            jnp.float32)
+        _, _, outs[impl] = init_and_apply("air", train=False,
+                                          attention_maps=att)
+    for k in outs["prod"]:
+        np.testing.assert_allclose(
+            np.asarray(outs["factored"][k]), np.asarray(outs["prod"][k]),
+            rtol=2e-4, atol=1e-6, err_msg=k)
+
+    # training path: gradients through the factored extraction must
+    # match too (the VJP no longer materializes the [N,H,W,C] product)
+    model = make_model("osie")
+    images = jnp.asarray(
+        np.random.default_rng(7).normal(size=(N, H, W, 3)), jnp.float32)
+    grads = {}
+    for impl in ("prod", "factored"):
+        monkeypatch.setenv("SP_FEAT_IMPL", impl)
+        variables = jax.jit(
+            lambda k: model.init(k, images, train=False)
+        )(jax.random.PRNGKey(0))
+
+        def loss(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                images, train=True, mutable=["batch_stats"])
+            return jnp.sum(out["actions"] ** 2) + jnp.sum(
+                out["log_normal_mu"] ** 2)
+        grads[impl] = jax.jit(jax.grad(loss))(variables["params"])
+    from jax.flatten_util import ravel_pytree
+    flat_p, _ = ravel_pytree(grads["prod"])
+    flat_f, _ = ravel_pytree(grads["factored"])
+    scale = float(jnp.max(jnp.abs(flat_p))) + 1e-12
+    np.testing.assert_allclose(np.asarray(flat_f) / scale,
+                               np.asarray(flat_p) / scale,
+                               rtol=2e-4, atol=5e-6)
+
+
 def test_air_dual_stream():
     att = jnp.ones((N, MH, MW, 1), jnp.float32)
     _, _, out = init_and_apply("air", train=False, attention_maps=att)
