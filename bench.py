@@ -145,9 +145,21 @@ def main():
     from scanpaths_tpu.models.scanpath_model import create_model
     from scanpaths_tpu.ops.sampling import random_sample, sample_checksum
 
+    from scanpaths_tpu.ops import pallas_cell
+
     n_chips = max(jax.device_count(), 1)
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
-    model = create_model("osie", dtype=dtype)
+    # SP_CELL_IMPL=pallas opts into the fused Pallas decode step
+    # (no-grad decode only; same math as the XLA cell up to
+    # reassociation — tests/test_pallas_cell.py).  Measured on one v5e
+    # chip the fused kernel is currently ~8% SLOWER per decode-scan
+    # step than the XLA formulation (82.7 vs 76.6 ms at batch 512 —
+    # docs/PERF.md), so the default stays "xla" until it wins.
+    cell_impl = os.environ.get("SP_CELL_IMPL", "xla")
+    if cell_impl == "pallas" and not (DTYPE == "bfloat16"
+                                      and pallas_cell.available()):
+        cell_impl = "xla"
+    model = create_model("osie", dtype=dtype, cell_impl=cell_impl)
     grid = GridSpec()
     # generate the input batch ON DEVICE: materializing 472MB on the
     # host and pushing it through the ~MB/s tunnel costs minutes of
@@ -224,6 +236,7 @@ def main():
         "flops_per_image": flops,
         "dtype": DTYPE,
         "batch": BATCH,
+        "cell_impl": cell_impl,
         "n_chips": n_chips,
         "checksum": round(checksum, 2),
     }))

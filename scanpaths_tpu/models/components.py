@@ -129,17 +129,26 @@ class SignalGates(nn.Module):
     in_features: int        # C = embed
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, s, cv):
-        kernel = self.param("kernel", grouped_xavier_conv_init(3),
-                            (3, 3, self.in_features, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        k = kernel.astype(self.dtype)
-        s = s.astype(self.dtype)
+    def setup(self):
+        self.kernel = self.param("kernel", grouped_xavier_conv_init(3),
+                                 (3, 3, self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def kp(self, cv):
+        """Per-sample contracted kernels [N, 9, G]: the semantic vector
+        folded into the conv kernel (the tiny matmul of the
+        factorization; bias NOT included)."""
+        k = self.kernel.astype(self.dtype)
         cv = cv.astype(self.dtype)
+        return jnp.einsum("hwco,nc->nhwo", k, cv).reshape(
+            cv.shape[0], 9, self.features)
+
+    def __call__(self, s, cv):
+        s = s.astype(self.dtype)
         n, hh, ww = s.shape
         # per-sample effective kernel: [N, 9, G]
-        kp = jnp.einsum("hwco,nc->nhwo", k, cv).reshape(n, 9, self.features)
+        kp = self.kp(cv)
         spad = jnp.pad(s, ((0, 0), (1, 1), (1, 1)))
         if _impl_flag("SP_SIGNAL_IMPL", "bcast") == "einsum":
             # batched matmul over the 9 shifted copies of the map:
@@ -159,7 +168,7 @@ class SignalGates(nn.Module):
                     (dy, dx) for dy in range(3) for dx in range(3)):
                 out = out + (spad[:, dy:dy + hh, dx:dx + ww, None]
                              * kp[:, None, None, idx, :])
-        return out + bias.astype(self.dtype)
+        return out + self.bias.astype(self.dtype)
 
 
 class FusedConvLSTMCell(nn.Module):
@@ -183,21 +192,52 @@ class FusedConvLSTMCell(nn.Module):
     num_signals: int = 1  # 1 = OSIE/COCO, 2 = AiR pos+neg
     dtype: Any = jnp.float32
 
-    def _conv(self, feats, groups, name):
-        return nn.Conv(feats, (3, 3), padding=[(1, 1), (1, 1)],
-                       kernel_init=grouped_xavier_conv_init(groups),
-                       dtype=self.dtype, name=name)
-
-    @nn.compact
-    def __call__(self, xg, h, c, signals: Sequence[tuple]):
+    def setup(self):
         e = self.embed
-        hg = self._conv(4 * e, 4, "gates_h")(h)
+        # ConvParams holder: same {kernel, bias} tree as the nn.Conv it
+        # replaces (checkpoints unaffected); raw access lets the fused
+        # Pallas step (ops/pallas_cell.py) consume the kernel directly
+        self.gates_h = ConvParams((3, 3, e, 4 * e),
+                                  kernel_init=grouped_xavier_conv_init(4))
+        self.gates_s0 = SignalGates(3 * e, e, dtype=self.dtype)
+        if self.num_signals == 2:
+            self.gates_s1 = SignalGates(3 * e, e, dtype=self.dtype)
+
+    def _sgate(self, idx) -> SignalGates:
+        return self.gates_s0 if idx == 0 else self.gates_s1
+
+    def gate_params(self):
+        """Raw (kernel [3, 3, C, 4C], bias [4C]) of the h-gate conv."""
+        return self.gates_h()
+
+    def pallas_signals(self, signals: Sequence[tuple], map_h, map_w):
+        """Pack the signal streams for the fused Pallas step: the tap
+        strips of each stream's SPATIAL map concatenated on the lane
+        axis [N, rp, 16*S], and the matching per-sample contracted
+        kernels [N, 16*S, 3C] (stream i occupies lanes 16i..16i+9, so
+        the single kernel matmul sums every stream's contribution)."""
+        from ..ops import pallas_cell as pcell
+        st = jnp.concatenate(
+            [pcell.signal_taps(s, map_h, map_w, self.dtype)
+             for s, _ in signals], axis=-1)
+        kp = jnp.concatenate(
+            [pcell.signal_kp_pad(self._sgate(i).kp(cv), self.dtype)
+             for i, (_, cv) in enumerate(signals)], axis=1)
+        return st, kp
+
+    def signal_bias(self):
+        """Summed signal-conv biases [3C] (folded into the hoisted xg
+        by the Pallas path; the XLA path adds them per call)."""
+        return sum(self._sgate(i).bias for i in range(self.num_signals))
+
+    def __call__(self, xg, h, c, signals: Sequence[tuple]):
+        k, b = self.gates_h()
+        hg = conv2d(h, k, b, padding=((1, 1), (1, 1)), dtype=self.dtype)
         acc = xg + hg
         # split pre-activations: [i, f, o, g]
         i_pre, f_pre, o_pre, g_pre = jnp.split(acc, 4, axis=-1)
         for idx, (s, cv) in enumerate(signals):
-            sg = SignalGates(3 * e, e, dtype=self.dtype,
-                             name=f"gates_s{idx}")(s, cv)
+            sg = self._sgate(idx)(s, cv)
             si, sf, so = jnp.split(sg, 3, axis=-1)
             i_pre, f_pre, o_pre = i_pre + si, f_pre + sf, o_pre + so
         i = nn.sigmoid(i_pre)

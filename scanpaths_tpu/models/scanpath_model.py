@@ -48,6 +48,7 @@ from .components import (
     xavier_conv_init,
 )
 from .resnet import DilatedResNet50
+from ..ops import pallas_cell
 
 
 class ScanpathModel(nn.Module):
@@ -68,6 +69,17 @@ class ScanpathModel(nn.Module):
     # ability to run much larger train batches (batch 64 at full
     # geometry needs 21.5G HBM without remat — over the 16G chip)
     remat: bool = False
+    # ConvLSTM step implementation for the decode scan:
+    #   "xla"     — the fused-conv flax cell (default; differentiable,
+    #               used by every training path)
+    #   "pallas"  — the fused Pallas TPU step (ops/pallas_cell.py):
+    #               gate conv + signal taps + state update in one
+    #               VMEM-resident program, h/c carried in flat padded
+    #               layouts.  No-gradient decode paths only (the kernel
+    #               defines no VJP); same math up to reassociation
+    #               (tests/test_pallas_cell.py).
+    #   "interpret" — the Pallas step in interpreter mode (CPU tests)
+    cell_impl: str = "xla"
     # evaluate the conditioner+head chain via exact kernel composition
     # (components.fuse_cond_head): the reference applies predict_head to
     # the 5x5 conditioner output with no nonlinearity in between and
@@ -187,7 +199,7 @@ class ScanpathModel(nn.Module):
         z = jnp.concatenate([stop_logit, amap.reshape(n, -1)], axis=-1)
         return z, mu, sigma2, amap.astype(self.dtype)
 
-    def _step(self, carry, _, fused=None):
+    def _step(self, carry, _, fused=None, cell_kt=None):
         n = carry["h"].shape[0]
         step = carry["step"]
         valid = jnp.arange(self.seq_len + 1) <= step
@@ -201,12 +213,24 @@ class ScanpathModel(nn.Module):
             # (components.SignalGates)
             signals.append((smem.reshape(n, self.map_h, self.map_w), cmem))
 
-        h, c = self.lstm(carry["xg"], carry["h"], carry["c"], signals)
+        if self.cell_impl == "xla":
+            h, c = self.lstm(carry["xg"], carry["h"], carry["c"], signals)
+            h_dense = h
+        else:
+            # fused Pallas step on flat-layout state (ops/pallas_cell);
+            # carry["h"]/["c"]/["xg"] are in halo/body layouts here
+            st, kp = self.lstm.pallas_signals(signals, self.map_h,
+                                              self.map_w)
+            h, c = pallas_cell.cell_step(
+                carry["h"], carry["c"], carry["xg"], st, kp, cell_kt,
+                self.map_h, self.map_w,
+                interpret=self.cell_impl == "interpret")
+            h_dense = pallas_cell.halo_to_grid(h, self.map_h, self.map_w)
 
         if fused is not None:
-            heads = [self._fused_head_out(h, fu) for fu in fused]
+            heads = [self._fused_head_out(h_dense, fu) for fu in fused]
         else:
-            feats = self.conditioner(h, carry.get("task_ids"))
+            feats = self.conditioner(h_dense, carry.get("task_ids"))
             heads = [self.head(feat) for feat in feats]
 
         outs = []
@@ -253,10 +277,27 @@ class ScanpathModel(nn.Module):
         entry0 = self._new_stream_entry(amap0, visual, vismean)
         streams = [self._init_stream(entry0, n) for _ in range(n_streams)]
 
+        xg = self.xgates(visual)
+        cell_kt = None
+        if self.cell_impl == "xla":
+            h0, c0 = jnp.zeros_like(visual), jnp.zeros_like(visual)
+        else:
+            # flat-layout state for the fused Pallas step; the constant
+            # per-channel biases (h-gate conv + signal convs) fold into
+            # the hoisted xg once per forward (the kernel adds none)
+            mh, mw = self.map_h, self.map_w
+            h0 = pallas_cell.zeros_halo(n, self.embed, mh, mw, self.dtype)
+            c0 = pallas_cell.zeros_body(n, self.embed, mh, mw, self.dtype)
+            kh, bh = self.lstm.gate_params()
+            bias = bh + jnp.pad(self.lstm.signal_bias(), (0, self.embed))
+            xg = pallas_cell.grid_to_body(xg, mh, mw) \
+                + bias.astype(self.dtype)
+            cell_kt = pallas_cell.gate_kernel_flat(kh, self.dtype)
+
         carry = {
-            "h": jnp.zeros_like(visual),
-            "c": jnp.zeros_like(visual),
-            "xg": self.xgates(visual),
+            "h": h0,
+            "c": c0,
+            "xg": xg,
             "visual": visual,
             "vismean": vismean,
             "streams": streams,
@@ -281,7 +322,8 @@ class ScanpathModel(nn.Module):
                                         self.map_h, self.map_w)
                          for (k, b) in ks]
 
-        body = lambda mdl, c, xs: mdl._step(c, xs, fused)  # noqa: E731
+        body = lambda mdl, c, xs: mdl._step(c, xs, fused,  # noqa: E731
+                                            cell_kt)
         if self.remat:
             body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body,
