@@ -159,6 +159,19 @@ def main():
     if cell_impl == "pallas" and not (DTYPE == "bfloat16"
                                       and pallas_cell.available()):
         cell_impl = "xla"
+    # SP_BACKBONE_IMPL=pallas opts into the fused whole-stage backbone
+    # (ops/pallas_block.py: layers 1-3's uniform bottleneck blocks as
+    # VMEM-resident Pallas kernels with BN folded).  Measured IN the
+    # full program it is ~11 ms/step slower than the XLA backbone
+    # (kernels 114.6 vs XLA 103.5 ms for the fused stages — the
+    # isolated 1.2-1.7x stage wins do not survive integration; see
+    # docs/PERF.md), so the default stays "xla".
+    from scanpaths_tpu.models.resnet import fused_backbone_apply
+    from scanpaths_tpu.ops import pallas_block
+    backbone_impl = os.environ.get("SP_BACKBONE_IMPL", "xla")
+    if backbone_impl == "pallas" and not (DTYPE == "bfloat16"
+                                          and pallas_block.available()):
+        backbone_impl = "xla"
     model = create_model("osie", dtype=dtype, cell_impl=cell_impl)
     grid = GridSpec()
     # generate the input batch ON DEVICE: materializing 472MB on the
@@ -171,7 +184,13 @@ def main():
 
     @jax.jit
     def step(variables, images, key):
-        out = model.apply(variables, images, train=False)
+        feats = None
+        if backbone_impl == "pallas":
+            feats = fused_backbone_apply(
+                {"params": variables["params"]["backbone"],
+                 "batch_stats": variables["batch_stats"]["backbone"]},
+                images, dtype=dtype)
+        out = model.apply(variables, images, train=False, features=feats)
         keys = jax.random.split(key, SAMPLES)
         samples = jax.vmap(lambda k: random_sample(
             k, out["all_actions_prob"], out["log_normal_mu"],
@@ -237,6 +256,7 @@ def main():
         "dtype": DTYPE,
         "batch": BATCH,
         "cell_impl": cell_impl,
+        "backbone_impl": backbone_impl,
         "n_chips": n_chips,
         "checksum": round(checksum, 2),
     }))

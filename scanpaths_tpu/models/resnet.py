@@ -162,6 +162,92 @@ class DilatedResNet50(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Fused inference path (Pallas whole-stage bottleneck kernel)
+# ---------------------------------------------------------------------------
+
+# (planes, first-block stride, dilation) per stage — the SAME table as
+# DilatedResNet50.__call__ after the dilation patch
+_STAGES = ((64, 1, 1), (128, 1, 1), (256, 2, 2), (512, 1, 4))
+
+
+def fused_backbone_apply(variables: dict, images: jnp.ndarray,
+                         layers: Sequence[int] = (3, 4, 6, 3),
+                         dtype=jnp.bfloat16, interpret: bool = False,
+                         use_kernels=True):
+    """Inference forward of :class:`DilatedResNet50` with the uniform
+    bottleneck blocks of layers 1-3 fused into whole-stage Pallas
+    kernels (ops/pallas_block.py) and BatchNorm folded into the conv
+    weights (exact eval semantics).
+
+    The early stages are HBM-bandwidth-bound under XLA (per-conv
+    fusion only); the whole-stage kernel keeps every intermediate in
+    VMEM, measured 1.70x / 1.44x / 1.20x the XLA stage for layer2 /
+    layer1 / layer3 at bench geometry (docs/PERF.md).  Layer4 is
+    already compute-bound at 89% MFU (the dilation-4 ring would add
+    16.7% junk-row FLOPs), so it and every downsample block stay on
+    the XLA path as plain folded convolutions.
+
+    ``variables`` is the model's {"params", "batch_stats"} pair with
+    the backbone subtree at the usual names; output matches
+    ``DilatedResNet50().apply(..., train=False)`` up to bf16
+    reassociation (f32-exact in f32 — tests/test_pallas_block.py).
+    No VJP: training keeps the flax module.
+    """
+    from ..ops import pallas_block as pb
+
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def fold(p, s, conv, bn):
+        k, b = pb.fold_bn(p[conv]["kernel"], p[bn]["scale"], p[bn]["bias"],
+                          s[bn]["mean"], s[bn]["var"])
+        return k.astype(dtype), b.astype(dtype)
+
+    def conv(x, k, b, stride=1, pad=0, dil=1):
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype), k, (stride, stride), [(pad, pad)] * 2,
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + b
+
+    k1, b1 = fold(params, stats, "conv1", "bn1")
+    x = jax.nn.relu(conv(images, k1, b1, stride=2, pad=3))
+    x = _ceil_maxpool(x)
+
+    for si, ((planes, stride, dil), blocks) in enumerate(
+            zip(_STAGES, layers), start=1):
+        # block 0 (downsample) as plain folded convs
+        name = f"layer{si}_block0"
+        p, s = params[name], stats[name]
+        kc1, bc1 = fold(p, s, "conv1", "bn1")
+        kc2, bc2 = fold(p, s, "conv2", "bn2")
+        kc3, bc3 = fold(p, s, "conv3", "bn3")
+        kd, bd = fold(p, s, "downsample_conv", "downsample_bn")
+        out = jax.nn.relu(conv(x, kc1, bc1, stride=stride))
+        out = jax.nn.relu(conv(out, kc2, bc2, pad=dil, dil=dil))
+        out = conv(out, kc3, bc3)
+        x = jax.nn.relu(out + conv(x, kd, bd, stride=stride))
+
+        rest = [f"layer{si}_block{bi}" for bi in range(1, blocks)]
+        fuse_this = (use_kernels if isinstance(use_kernels, bool)
+                     else si in use_kernels)
+        if si <= 3 and rest and fuse_this:
+            st = pb.stack_stage_params(params, stats, rest, dtype)
+            x = pb.stage_apply(x, dil, st["w1"], st["b1"], st["w2"],
+                               st["b2"], st["w3"], st["b3"],
+                               interpret=interpret)
+        else:
+            for name in rest:
+                p, s = params[name], stats[name]
+                kc1, bc1 = fold(p, s, "conv1", "bn1")
+                kc2, bc2 = fold(p, s, "conv2", "bn2")
+                kc3, bc3 = fold(p, s, "conv3", "bn3")
+                out = jax.nn.relu(conv(x, kc1, bc1))
+                out = jax.nn.relu(conv(out, kc2, bc2, pad=dil, dil=dil))
+                x = jax.nn.relu(conv(out, kc3, bc3) + x)
+    return x
+
+
+# ---------------------------------------------------------------------------
 # torchvision-era state-dict conversion
 # ---------------------------------------------------------------------------
 
