@@ -166,6 +166,11 @@ def main():
     # (kernels 114.6 vs XLA 103.5 ms for the fused stages — the
     # isolated 1.2-1.7x stage wins do not survive integration; see
     # docs/PERF.md), so the default stays "xla".
+    # SP_BACKBONE_IMPL=folded runs the all-plain folded-BN inference
+    # backbone (fused_backbone_apply(use_kernels=False)): BN folded
+    # into the conv weights, exact eval algebra, no Pallas — measured
+    # slightly faster than the flax module (248.9 vs 252.5 ms at batch
+    # 512; docs/PERF.md).
     from scanpaths_tpu.models.resnet import fused_backbone_apply
     from scanpaths_tpu.ops import pallas_block
     backbone_impl = os.environ.get("SP_BACKBONE_IMPL", "xla")
@@ -185,11 +190,12 @@ def main():
     @jax.jit
     def step(variables, images, key):
         feats = None
-        if backbone_impl == "pallas":
+        if backbone_impl in ("pallas", "folded"):
             feats = fused_backbone_apply(
                 {"params": variables["params"]["backbone"],
                  "batch_stats": variables["batch_stats"]["backbone"]},
-                images, dtype=dtype)
+                images, dtype=dtype,
+                use_kernels=backbone_impl == "pallas")
         out = model.apply(variables, images, train=False, features=feats)
         keys = jax.random.split(key, SAMPLES)
         samples = jax.vmap(lambda k: random_sample(
