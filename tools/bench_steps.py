@@ -320,6 +320,21 @@ def bench_eval_sweep(which):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "all":
+        # one fresh process per section: sections contaminate each
+        # other's numbers when sharing a process/device (measured: the
+        # eval sweep reads 126 ms after the train-step benches' HBM
+        # churn vs 26 ms standalone on the same chip)
+        import subprocess
+        for sec in ("sup", "rl", "nw", "pipeline", "eval"):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sec],
+                capture_output=True, text=True)
+            sys.stdout.write(proc.stdout)
+            sys.stderr.write(proc.stderr)
+            if proc.returncode != 0:
+                sys.exit(proc.returncode)
+        sys.exit(0)
     bench_train_steps(which)
     bench_nw(which)
     bench_pipeline(which)
