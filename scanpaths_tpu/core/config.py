@@ -194,6 +194,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "images, or comma-separated per image)")
     p.add_argument("--predict_out", type=str, default="",
                    help="output JSON path ('' = stdout)")
+    # AOT export (cli/export.py — new in this framework; serialized
+    # StableHLO serving bundles via jax.export)
+    p.add_argument("--export_dir", type=str, default="",
+                   help="output directory for the exported serving "
+                        "bundle (serve.jaxexport + manifest.json)")
+    p.add_argument("--export_batch", type=str, default="1",
+                   help="serving batch size baked into the artifact: "
+                        "an int, or 'sym' for a symbolic (any-size) "
+                        "batch dimension")
+    p.add_argument("--export_platforms", type=str, default="",
+                   help="comma-separated lowering platforms (tpu,cpu); "
+                        "'' = the current default backend")
+    p.add_argument("--export_check", type=str2bool, default=True,
+                   help="after writing, deserialize the bundle and "
+                        "verify it against the live model on random "
+                        "inputs")
     # config files
     p.add_argument("--cfg", type=str, default=None)
     p.add_argument("--set_cfgs", dest="set_cfgs", default=[], nargs="+")
