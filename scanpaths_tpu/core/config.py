@@ -155,6 +155,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of the host Python loops — same "
                         "aggregation semantics, removes the CPU metric "
                         "sweep from the eval hot path")
+    p.add_argument("--ckpt_backend", type=str, default="msgpack",
+                   choices=("msgpack", "orbax"),
+                   help="checkpoint serialization backend: single-file "
+                        "flax msgpack (sync, default) or orbax with "
+                        "async saves that overlap the next train steps; "
+                        "restore paths auto-detect the backend, so "
+                        "resume/test work on runs from either")
     p.add_argument("--cache_images", type=str2bool, default=True)
     p.add_argument("--packed_cache_dir", type=str, default="",
                    help="if set, build/serve an on-disk packed uint8 "

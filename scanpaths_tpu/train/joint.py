@@ -49,7 +49,8 @@ from ..data.prefetch import prefetch
 from ..metrics import evaluation as heval
 from ..models.scanpath_model import JointScanpathModel, TaskView
 from ..ops.sampling import random_sample, to_fix_vectors
-from ..utils.checkpointing import CheckpointManager, restore_pytree
+from ..utils.checkpointing import (make_checkpoint_manager,
+                                   restore_checkpoint)
 from ..utils.logger import Logger
 from ..utils.recording import RecordManager
 from . import steps
@@ -192,15 +193,16 @@ class JointTrainer:
             self.record_manager.init_record()
         else:
             self.record_manager.load()
-        self.checkpoint_manager = CheckpointManager(
+        self.checkpoint_manager = make_checkpoint_manager(
             self.checkpoints_dir, mode="max",
-            best_metric=self.record_manager.get_best_metric())
+            best_metric=self.record_manager.get_best_metric(),
+            backend=getattr(args, "ckpt_backend", "msgpack"))
         if args.resume_dir != "":
-            restored = restore_pytree(
-                join(self.checkpoints_dir, "checkpoint.msgpack"),
-                {"model": {"params": self.state.params,
-                           "batch_stats": self.state.batch_stats},
-                 "optimizer": self.state.opt_state})
+            restored = restore_checkpoint(
+                self.checkpoints_dir,
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+                self.state.opt_state)
             self.state = jax.device_put(
                 self.state.replace(
                     params=restored["model"]["params"],
@@ -378,8 +380,11 @@ class JointTrainer:
             self.record_manager.save(
                 epoch, iteration, self.checkpoint_manager.get_best_metric())
             if args.supervised_save and epoch == args.start_rl_epoch - 1:
+                # async (orbax) writes must land before the dir copy
+                self.checkpoint_manager.wait()
                 dst = self.log_dir.rstrip("/") + "_supervised_save"
                 if os.path.exists(dst):
                     shutil.rmtree(dst)
                 shutil.copytree(self.log_dir, dst)
+        self.checkpoint_manager.wait()
         return self.checkpoint_manager.get_best_metric()

@@ -175,6 +175,38 @@ def test_resume_restores_optimizer_and_record(trained_run):
         trainer.checkpoint_manager.get_best_metric())
 
 
+def test_orbax_backend_end_to_end(synth_root, tmp_path):
+    """--ckpt_backend orbax through the real CLIs: fresh train (async
+    triad saves), resume from the orbax rolling checkpoint, and the
+    test driver's auto-detected best restore."""
+    from scanpaths_tpu.cli import test as cli_test
+    from scanpaths_tpu.cli import train as cli_train
+    from scanpaths_tpu.utils.checkpointing import detect_backend
+
+    log_root = str(tmp_path / "orbax_logs")
+    cli_train.main(_argv(synth_root, log_root,
+                         ("--epoch", "1", "--ckpt_backend", "orbax")))
+    runs = [d for d in os.listdir(log_root) if d.startswith("log_")
+            and not d.endswith("_supervised_save")]
+    log_dir = join(log_root, runs[0])
+    ckdir = join(log_dir, "checkpoints")
+    assert detect_backend(ckdir) == "orbax"
+    assert exists(join(ckdir, "checkpoint.orbax"))
+    assert exists(join(ckdir, "checkpoint_best.orbax"))
+    assert not exists(join(ckdir, "checkpoint.msgpack"))
+    # supervised_save copy (made AFTER wait()) carries complete dirs
+    sup = log_dir + "_supervised_save"
+    assert exists(join(sup, "checkpoints", "checkpoint.orbax"))
+
+    # resume (auto-detected restore) + the RL epoch, still on orbax
+    cli_train.main(_argv(synth_root, log_root,
+                         ("--epoch", "2", "--resume_dir", log_dir,
+                          "--ckpt_backend", "orbax")))
+    metrics = cli_test.main(_argv(synth_root, log_root,
+                                  ("--evaluation_dir", log_dir)))
+    assert set(metrics) >= {"MultiMatch", "ScanMatch", "VAME"}
+
+
 def test_air_cli_end_to_end(synth_root, tmp_path):
     """AiR single-task drive: dual-stream validation, performance-
     bucketed metrics, qid-keyed prediction dumps (reference
