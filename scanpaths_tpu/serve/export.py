@@ -127,14 +127,20 @@ def export_bundle(out_dir: str, model, variables: dict, grid: GridSpec,
                   map_h: int = 30, map_w: int = 40) -> dict:
     """Export the serving path and write the bundle.  Returns the
     manifest dict.  ``batch`` is an int or "sym"; ``platforms`` is a
-    list of lowering targets (None = the current default backend)."""
+    list of lowering targets.  The default is ``["cpu", "tpu"]`` so the
+    artifact is backend-portable out of the box: the serve path is pure
+    XLA (no Pallas), so multi-platform lowering costs only bundle bytes,
+    and a bundle exported on a TPU host then loads on a CPU serving box
+    (and vice versa) without re-export."""
     assert decode in ("greedy", "sample"), decode
     serve = build_serve_fn(model, variables, grid, decode=decode,
                            num_samples=num_samples, stream=stream)
     specs, names = _arg_specs(model.task, decode, batch, grid,
                               map_h, map_w)
-    kw = {"platforms": list(platforms)} if platforms else {}
-    exp = jax.export.export(jax.jit(serve), **kw)(*specs)
+    if platforms is None:
+        platforms = ("cpu", "tpu")
+    exp = jax.export.export(jax.jit(serve),
+                            platforms=list(platforms))(*specs)
 
     manifest = {
         "format": "scanpaths_tpu.serve/1",

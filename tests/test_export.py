@@ -147,17 +147,73 @@ def test_bundle_runs_without_model_code(tmp_path):
         "assert 'scanpaths_tpu' not in sys.modules\n"
         "print(json.dumps({'fix': np.asarray(out['fix']).tolist(),"
         " 'fix_len': np.asarray(out['fix_len']).tolist()}))\n")
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # Pin the subprocess to the CPU backend robustly: a sitecustomize
+    # may import jax (registering the axon TPU plugin) before the -c
+    # script's os.environ mutation runs, so the plugin env vars must be
+    # absent from the environment itself (same treatment as
+    # __graft_entry__.py's dryrun subprocess).
+    env = {k: v for k, v in os.environ.items()
+           if k != "XLA_FLAGS" and not k.startswith("PALLAS_AXON")
+           and not k.startswith("TPU_")}
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([sys.executable, "-c", script, str(tmp_path)],
                        capture_output=True, text=True, env=env,
                        cwd="/")
     assert r.returncode == 0, r.stderr[-2000:]
     got = json.loads(r.stdout.strip().splitlines()[-1])
+    # The bundle is lowered for platforms=["cpu","tpu"]; the
+    # platform-parameterized module may fuse the duration exp() chain
+    # differently from the in-process single-platform jit, so durations
+    # can differ by 1 float32 ulp.  Grid-center coordinates and lengths
+    # are integer-derived and must be exact.
     np.testing.assert_allclose(np.asarray(got["fix"], np.float64),
                                np.asarray(want["fix"], np.float64),
-                               rtol=0, atol=0)
+                               rtol=1e-6, atol=0)
     np.testing.assert_array_equal(np.asarray(got["fix_len"]),
                                   np.asarray(want["fix_len"]))
+
+
+def test_bundle_loads_on_real_tpu(tmp_path):
+    """Backend portability on real hardware: the default cpu+tpu bundle,
+    exported under this CPU test process, deserializes and executes on
+    the real TPU chip (axon tunnel) in a fresh interpreter and
+    reproduces the CPU output bit-for-bit on the integer/len fields.
+    Skipped when the environment has no TPU plugin configured."""
+    if not any(k.startswith(("PALLAS_AXON", "TPU_")) for k in os.environ):
+        pytest.skip("no TPU plugin env configured")
+    args, model, variables = _tiny_model("osie")
+    grid = grid_spec(args)
+    manifest = export_bundle(str(tmp_path), model, variables, grid,
+                             batch=1, map_h=args.map_height,
+                             map_w=args.map_width)
+    assert set(manifest["platforms"]) >= {"cpu", "tpu"}
+    feed = _feed(args, "osie", 1)
+    want = jax.jit(build_serve_fn(model, variables, grid))(*feed)
+    np.save(tmp_path / "images.npy", feed[0])
+    script = (
+        "import sys, json, numpy as np, jax\n"
+        "assert jax.default_backend() == 'tpu', jax.devices()\n"
+        "d = sys.argv[1]\n"
+        "exp = jax.export.deserialize("
+        "bytearray(open(d + '/serve.jaxexport', 'rb').read()))\n"
+        "out = exp.call(np.load(d + '/images.npy'))\n"
+        "print(json.dumps({'fix': np.asarray(out['fix']).tolist(),"
+        " 'fix_len': np.asarray(out['fix_len']).tolist()}))\n")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, "-c", script, str(tmp_path)],
+                       capture_output=True, text=True, env=env,
+                       cwd="/", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = json.loads(r.stdout.strip().splitlines()[-1])
+    # fix carries float durations whose bf16-free compute path is still
+    # float32; TPU float32 conv accumulation may differ in ulps from
+    # CPU, so compare lens exactly and coordinates loosely.
+    np.testing.assert_array_equal(np.asarray(got["fix_len"]),
+                                  np.asarray(want["fix_len"]))
+    np.testing.assert_allclose(np.asarray(got["fix"], np.float64),
+                               np.asarray(want["fix"], np.float64),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_export_cli_end_to_end(tmp_path):
