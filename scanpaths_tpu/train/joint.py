@@ -386,5 +386,5 @@ class JointTrainer:
                 if os.path.exists(dst):
                     shutil.rmtree(dst)
                 shutil.copytree(self.log_dir, dst)
-        self.checkpoint_manager.wait()
+        self.checkpoint_manager.close()
         return self.checkpoint_manager.get_best_metric()
