@@ -313,8 +313,24 @@ def _mm_traceback(table, m, na, nb, max_path: int):
     """Walk the DP table back from (na-1, nb-1) to (0, 0), preferring
     diagonal, then up, then left on ties (the host `_align` tie order).
     Returns (cells [max_path, 2] int32, valid [max_path] bool) — cells
-    are emitted end-first and include both endpoints."""
+    are emitted end-first and include both endpoints.
+
+    Ties are detected with a tolerance scaled to the path-cost
+    magnitude: `_mm_align_table`'s min-plus prefix scan reassociates
+    the cost sums (cumsum then cummin), so two EXACTLY tied alignments
+    — common for decoded scanpaths, where repeated saccades make whole
+    DP columns identical — land a few ulps apart in the f32 table and
+    a raw <= would break the tie by rounding noise instead of by the
+    host's deterministic diag > up > left order.  The flipped path is
+    still cost-optimal, but path-dependent columns (position, duration)
+    then diverge from the host suite (observed: a single tied pair
+    moving the aggregated AiR MultiMatch-duration by ~1%).  Costs that
+    genuinely differ by less than ~16 ulps of the total are fp-ambiguous
+    either way; resolving them like exact ties is the consistent
+    choice."""
     big = jnp.float32(3.4e38)
+    total = table[na - 1, nb - 1]
+    tol = 16 * jnp.finfo(table.dtype).eps * (jnp.abs(total) + 1)
 
     def body(k, carry):
         i, j, done, cells, valid = carry
@@ -325,8 +341,8 @@ def _mm_traceback(table, m, na, nb, max_path: int):
         d_up = jnp.where(i > 0, table[i - 1, j], big)
         d_left = jnp.where(j > 0, table[i, j - 1], big)
         best = jnp.minimum(d_diag, jnp.minimum(d_up, d_left))
-        take_diag = d_diag <= best
-        take_up = (~take_diag) & (d_up <= best)
+        take_diag = d_diag <= best + tol
+        take_up = (~take_diag) & (d_up <= best + tol)
         ni = jnp.where(take_diag | take_up, i - 1, i)
         nj = jnp.where(take_diag | (~take_up), j - 1, j)
         now_done = done | ((i == 0) & (j == 0))

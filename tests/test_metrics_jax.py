@@ -144,6 +144,48 @@ def test_multimatch_jax_identical_paths(rng):
     np.testing.assert_allclose(dev, 1.0, atol=1e-6)
 
 
+def test_multimatch_jax_exact_alignment_tie(rng):
+    """Regression: a decoded scanpath with REPEATED saccades makes whole
+    DP columns exactly tied; the kernel's min-plus prefix scan lands the
+    tied table entries a few ulps apart, and without the traceback's
+    tie tolerance the rounding noise (not the host's diag > up > left
+    order) picked the alignment — flipping the path-dependent columns
+    (observed: duration 0.487 -> 0.200 on this real rollout, a ~1%
+    aggregate shift in joint AiR validation).  Pair captured from a
+    joint --device_eval run: pred fixations sit on grid centers and
+    saccade 0 == saccade 1 exactly."""
+    from scanpaths_tpu.metrics.multimatch import docomparison
+
+    gt = np.array([
+        [28.637657, 17.975346, 0.571892],
+        [5.826118, 8.386845, 0.132733],
+        [17.664713, 12.10556, 0.604229],
+        [30.110462, 24.06101, 0.219451],
+        [36.353935, 17.330498, 0.320491],
+        [30.968199, 19.8957, 0.128302],
+        [45.647884, 27.97657, 0.226726],
+        [16.720411, 10.860298, 0.368716],
+        [37.81781, 26.949255, 0.410576],
+        [4.596786, 10.206927, 0.597115],
+        [9.773601, 6.566147, 0.521667],
+        [21.472595, 35.86916, 0.222975],
+        [31.736494, 36.20962, 0.442775]], np.float32)
+    pred = np.array([
+        [44.0, 28.0, 0.166949],
+        [28.0, 20.0, 4.857131],      # saccade 1 == saccade 0 = (-16,-8)
+        [12.0, 12.0, 0.789355],
+        [20.0, 36.0, 0.55234]], np.float32)
+    # pad gt to a bigger static shape, like the eval sweep does
+    gt_pad = np.zeros((1, 20, 3), np.float32)
+    gt_pad[0, :13] = gt
+    pr_pad = pred[None]
+    dev = np.asarray(jm.multimatch_scores(
+        jnp.asarray(gt_pad), jnp.asarray([13], np.int32),
+        jnp.asarray(pr_pad), jnp.asarray([4], np.int32)))[0]
+    host = docomparison(gt, pred, screensize=(320, 240))
+    np.testing.assert_allclose(dev, host, rtol=2e-5, atol=2e-5)
+
+
 def test_expansion_overflow_flags(rng):
     spec = jm.ScanMatchSpec(temp_bin=50.0, max_symbols=8)
     fix = np.zeros((2, 4, 3), np.float32)
