@@ -172,10 +172,34 @@ class DeviceSweep:
         self.spec_wod = spec_wod
         self._rows: list[np.ndarray] = []      # one [G, 9] per group
         self._buckets = []                     # air: (all, right, wrong)
+        self._overflow = 0                     # truncated rollouts
+        self._preds = 0                        # rollouts seen
+
+    def _count_overflow(self, pred_fix, pred_len):
+        """The w/-duration NW table bound is sized from the SPLIT's GT
+        (trainer._eval_specs); sampled rollouts have unbounded LogNormal
+        durations, so one can always expand past the static cap and get
+        prefix-truncated where the host suite would not.  Count those
+        rollouts so the divergence is never silent (the RL path already
+        reports the analogous reward_overflow_frac)."""
+        ov = jm.expansion_overflow(self.spec_wd, jnp.asarray(pred_fix),
+                                   jnp.asarray(pred_len))
+        self._overflow += int(np.asarray(jnp.sum(ov)))
+        self._preds += int(np.asarray(pred_len).shape[0])
+
+    @property
+    def overflow(self) -> dict:
+        """{count, total, frac} of prediction rollouts whose TempBin
+        expansion overflowed the w/-duration table (prefix-truncated on
+        device; a nonzero frac means the with-duration ScanMatch column
+        may read differently from a host-suite run)."""
+        return {"count": self._overflow, "total": self._preds,
+                "frac": self._overflow / max(self._preds, 1)}
 
     def add_batch(self, gt_fix, gt_len, gt_mask, pred_fix, pred_len):
         """One decode repeat of one batch: gt_* [N, S, ...] (mask 1 =
         real subject), pred_* [N, ...]."""
+        self._count_overflow(pred_fix, pred_len)
         rows = np.asarray(pair_rows(self.spec_wd, self.spec_wod,
                                     jnp.asarray(gt_fix),
                                     jnp.asarray(gt_len),
@@ -192,6 +216,7 @@ class DeviceSweep:
         predictions.  Mirrors evaluation_performance_related's NaN-skip
         + (perf == alloc) bucketing (reference AiR/utils/evaluation.py:
         188-359)."""
+        self._count_overflow(pred_fix, pred_len)
         rows = np.asarray(pair_rows(self.spec_wd, self.spec_wod,
                                     jnp.asarray(gt_fix),
                                     jnp.asarray(gt_len),

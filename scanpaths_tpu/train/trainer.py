@@ -105,6 +105,30 @@ def build_model(args):
         else jnp.float32)
 
 
+def eval_specs(ds, grid: GridSpec):
+    """Static ScanMatch specs for the device validation sweep, table
+    bounds derived from the split (never silently under-sized for
+    the GT; sampled rollouts with a TempBin expansion beyond the
+    w/-duration cap are prefix-truncated — durations are unbounded
+    LogNormals, so no static bound can cover every sample — and the
+    DeviceSweep overflow counter reports every truncation).
+
+    The bin resolution is the FIXED evaluation protocol (16x12 bins
+    over 320x240, reference AiR/train.py:216-218) — NOT the
+    configured image geometry: the reference hard-codes it, the
+    host suite mirrors that (evaluation.STIM_SHAPE), and the other
+    device kernels (SED/STDE/MultiMatch) already do too, so a
+    grid-derived spec would silently diverge from the host sweep
+    the moment someone trains at a non-default resolution."""
+    from ..metrics import jax_metrics as jm
+    max_wd = int(np.ceil(max(ds.wd_symbols_needed, 256) / 64) * 64)
+    spec_wd = jm.ScanMatchSpec(temp_bin=50.0, max_symbols=max_wd)
+    spec_wod = jm.ScanMatchSpec(
+        temp_bin=0.0,
+        max_symbols=max(grid.max_length, ds.pad_gt_len))
+    return spec_wd, spec_wod
+
+
 class EvalCore:
     """Shared decode/eval plumbing: jitted eval forward + batched
     sampler + host-metric logging.  ``Trainer`` adds the training stack
@@ -181,26 +205,7 @@ class EvalCore:
         return to_fix_vectors(samples)  # repeat-major flat list [R*N]
 
     def _eval_specs(self, ds):
-        """Static ScanMatch specs for the device validation sweep, table
-        bounds derived from the split (never silently under-sized for
-        the GT; sampled rollouts with a TempBin expansion beyond the
-        w/-duration cap are prefix-truncated — durations are unbounded
-        LogNormals, so no static bound can cover every sample).
-
-        The bin resolution is the FIXED evaluation protocol (16x12 bins
-        over 320x240, reference AiR/train.py:216-218) — NOT the
-        configured image geometry: the reference hard-codes it, the
-        host suite mirrors that (evaluation.STIM_SHAPE), and the other
-        device kernels (SED/STDE/MultiMatch) already do too, so a
-        grid-derived spec would silently diverge from the host sweep
-        the moment someone trains at a non-default resolution."""
-        from ..metrics import jax_metrics as jm
-        max_wd = int(np.ceil(max(ds.wd_symbols_needed, 256) / 64) * 64)
-        spec_wd = jm.ScanMatchSpec(temp_bin=50.0, max_symbols=max_wd)
-        spec_wod = jm.ScanMatchSpec(
-            temp_bin=0.0,
-            max_symbols=max(self.grid.max_length, ds.pad_gt_len))
-        return spec_wd, spec_wod
+        return eval_specs(ds, self.grid)
 
     def validation_device(self, iteration: int):
         """The full nine-column validation sweep with every pairwise
@@ -237,6 +242,15 @@ class EvalCore:
             f"Evaluation metrics (device sweep) after iteration "
             f"{iteration}:")
         self._log_metric_tree(cur_metrics, cur_std, iteration)
+        ov = sweep.overflow
+        self.writer.add_scalar("metrics/wd_overflow_frac", ov["frac"],
+                               iteration)
+        if ov["count"]:
+            self.logger.warning(
+                f"device-eval w/-duration table overflow: {ov['count']}/"
+                f"{ov['total']} rollouts ({ov['frac']:.2%}) prefix-"
+                f"truncated — the with-duration ScanMatch column may "
+                f"differ from a host-suite run")
         return cur_metrics
 
     def selection_metric(self, cur_metrics) -> float:

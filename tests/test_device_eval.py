@@ -215,3 +215,31 @@ def test_device_sweep_equals_host_air_bucketed(rng):
                         err_msg=cat + path + "/" + str(k))
         assert_tree(want_m[cat], got_m[cat])
         assert_tree(want_s[cat], got_s[cat])
+
+
+def test_sweep_overflow_counter_fires_on_absurd_durations(rng):
+    """An early-training model can sample durations whose TempBin
+    expansion exceeds the split-derived w/-duration table bound; the
+    device sweep prefix-truncates those rollouts (documented,
+    trainer._eval_specs) and must COUNT them rather than diverge
+    silently from the host suite."""
+    gts = [[_grid_path(rng, 5) for _ in range(3)] for _ in range(4)]
+    preds = [_grid_path(rng, 5) for _ in range(4)]
+    # one pathological rollout: 5 fixations x 40 s = 4000 symbols at
+    # TempBin 50 >> the 64-symbol table below
+    preds[2]["duration"][:] = 40.0
+    spec_wd = jm.ScanMatchSpec(temp_bin=50.0, max_symbols=64)
+    spec_wod = jm.ScanMatchSpec(temp_bin=0.0, max_symbols=8)
+    sweep = DeviceSweep(spec_wd, spec_wod)
+    sweep.add_batch(*_pad_batch(gts, preds))
+    assert sweep.overflow == {"count": 1, "total": 4, "frac": 0.25}
+    # a sane second batch leaves the counter untouched
+    sweep.add_batch(*_pad_batch(gts, [_grid_path(rng, 5)
+                                      for _ in range(4)]))
+    assert sweep.overflow["count"] == 1 and sweep.overflow["total"] == 8
+    # the AiR path counts too
+    sweep2 = DeviceSweep(spec_wd, spec_wod)
+    gt_fix, gt_len, gt_mask, pred_fix, pred_len = _pad_batch(gts, preds)
+    sweep2.add_batch_air(gt_fix, gt_len, gt_mask, pred_fix, pred_len,
+                         [[True, False, True]] * 4, True)
+    assert sweep2.overflow["count"] == 1
