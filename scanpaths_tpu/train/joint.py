@@ -303,9 +303,12 @@ class JointTrainer:
         return iteration
 
     # ------------------------------------------------------------------
-    def decode_batch(self, ctx: _TaskContext, batch, repeat_num: int,
-                     stream: str | None = None,
-                     global_batch: int | None = None):
+    def decode_batch_device(self, ctx: _TaskContext, batch,
+                            repeat_num: int, stream: str | None = None,
+                            global_batch: int | None = None):
+        """Eval forward + stochastic decodes, everything device-
+        resident; returns (device batch, Samples) so the --device_eval
+        sweep consumes the rollouts without a host round-trip."""
         db = self._device_batch(batch, for_rl=True,
                                 global_batch=global_batch)
         out = ctx.eval_forward(self.state.params, self.state.batch_stats,
@@ -316,6 +319,14 @@ class JointTrainer:
                                 out[f"{prefix}log_normal_mu"],
                                 out[f"{prefix}log_normal_sigma2"],
                                 repeat_num)
+        return db, samples
+
+    def decode_batch(self, ctx: _TaskContext, batch, repeat_num: int,
+                     stream: str | None = None,
+                     global_batch: int | None = None):
+        _, samples = self.decode_batch_device(ctx, batch, repeat_num,
+                                              stream,
+                                              global_batch=global_batch)
         return to_fix_vectors(samples)
 
     def validation(self, iteration: int) -> float:
@@ -341,37 +352,132 @@ class JointTrainer:
             if task == "air":
                 m, s, _ = heval.evaluation_performance_related(
                     all_gt, all_pred, all_perf, all_alloc)
-                vals = (list(m["right_answer"]["ScanMatch"].values())
-                        + list(m["wrong_answer"]["ScanMatch"].values()))
             else:
                 m, s, _ = heval.evaluation(all_gt, all_pred)
-                vals = list(m["ScanMatch"].values())
-            hm = float(scipy.stats.hmean(vals))
+            hm = self._task_hmean(task, m)
             task_hmeans.append(hm)
             self.logger.info(f"[{task}] validation after iteration "
                              f"{iteration}: ScanMatch hmean {hm:.4f}")
 
-            def walk(mm, prefix):
-                for k, v in mm.items():
-                    if isinstance(v, dict):
-                        walk(v, prefix + [k])
-                    else:
-                        self.writer.add_scalar(
-                            f"{task}/metrics/" + "-".join(prefix + [k]),
-                            v, iteration)
-            walk(m, [])
+            self._write_metric_scalars(task, m, iteration)
         joint = float(scipy.stats.hmean(task_hmeans))
         self.writer.add_scalar("current metric", joint, iteration)
         return joint
+
+    def _write_metric_scalars(self, task: str, metrics: dict,
+                              iteration: int):
+        def walk(mm, prefix):
+            for k, v in mm.items():
+                if isinstance(v, dict):
+                    walk(v, prefix + [k])
+                else:
+                    self.writer.add_scalar(
+                        f"{task}/metrics/" + "-".join(prefix + [k]),
+                        v, iteration)
+        walk(metrics, [])
+
+    @staticmethod
+    def _task_hmean(task: str, m: dict) -> float:
+        if task == "air":
+            vals = (list(m["right_answer"]["ScanMatch"].values())
+                    + list(m["wrong_answer"]["ScanMatch"].values()))
+        else:
+            vals = list(m["ScanMatch"].values())
+        return float(scipy.stats.hmean(vals))
+
+    def validation_device(self, iteration: int) -> float:
+        """--device_eval joint validation: every pairwise metric row on
+        device kernels (metrics/device_eval.py), host keeping only the
+        suite's own aggregation — kills the last path still paying the
+        reference's CPU metric loops
+        (OSIE/utils/evaluation.py:151-282).  Same rollout/key schedule
+        and same returned scalar as :meth:`validation`."""
+        from ..metrics.device_eval import DeviceSweep
+        from .trainer import eval_specs
+        repeat = self.args.eval_repeat_num
+        task_hmeans = []
+        for task in TASKS:
+            ctx = self.tasks[task]
+            spec_wd, spec_wod = eval_specs(ctx.validation_loader.dataset,
+                                           self.grid)
+            sweep = DeviceSweep(spec_wd, spec_wod)
+            for batch in ctx.validation_loader:
+                gb = ctx.validation_loader.batch_size
+                if task == "air":
+                    for stream, flag in (("good", True), ("poor", False)):
+                        db, samples = self.decode_batch_device(
+                            ctx, batch, repeat, stream, global_batch=gb)
+                        for r in range(repeat):
+                            sweep.add_batch_air(
+                                db["gt_fix"], db["gt_len"], db["gt_mask"],
+                                samples.fix[r], samples.fix_len[r],
+                                batch["performances"], flag)
+                else:
+                    db, samples = self.decode_batch_device(
+                        ctx, batch, repeat, global_batch=gb)
+                    for r in range(repeat):
+                        sweep.add_batch(db["gt_fix"], db["gt_len"],
+                                        db["gt_mask"], samples.fix[r],
+                                        samples.fix_len[r])
+            m, s = sweep.result()
+            hm = self._task_hmean(task, m)
+            task_hmeans.append(hm)
+            self.logger.info(f"[{task}] validation (device sweep) after "
+                             f"iteration {iteration}: ScanMatch hmean "
+                             f"{hm:.4f}")
+            self._write_metric_scalars(task, m, iteration)
+            ov = sweep.overflow
+            self.writer.add_scalar(f"{task}/metrics/wd_overflow_frac",
+                                   ov["frac"], iteration)
+            if ov["count"]:
+                self.logger.warning(
+                    f"[{task}] device-eval w/-duration table overflow: "
+                    f"{ov['count']}/{ov['total']} rollouts "
+                    f"({ov['frac']:.2%}) prefix-truncated")
+        joint = float(scipy.stats.hmean(task_hmeans))
+        self.writer.add_scalar("current metric", joint, iteration)
+        return joint
+
+    def human_baseline(self):
+        """Per-task human inter-observer baseline before training (the
+        reference prints this at the start of every run,
+        AiR/train.py:452-460); device kernels under --device_eval."""
+        from .trainer import eval_specs
+        for task in TASKS:
+            ctx = self.tasks[task]
+            if getattr(self.args, "device_eval", False):
+                from ..metrics.device_eval import human_evaluation_device
+                spec_wd, spec_wod = eval_specs(
+                    ctx.validation_loader.dataset, self.grid)
+                metrics, stds, _ = human_evaluation_device(
+                    ctx.validation_loader, spec_wd, spec_wod, task=task)
+            else:
+                metrics, stds, _ = heval.human_evaluation(
+                    ctx.validation_loader, task=task)
+            self.logger.info(f"[{task}] metrics for human performance:")
+
+            def walk(m, s, prefix):
+                for k, v in m.items():
+                    if isinstance(v, dict):
+                        walk(v, s[k], prefix + [k])
+                    else:
+                        self.logger.info(
+                            f"{'-'.join(prefix):24}-{k:15}: {v:.4f} "
+                            f"+- {s[k]:.4f}")
+            walk(metrics, stds, [])
 
     # ------------------------------------------------------------------
     def fit(self) -> float:
         args = self.args
         start_epoch = self.record_manager.get_epoch()
         iteration = self.record_manager.get_iteration()
+        if args.resume_dir == "":
+            self.human_baseline()
         for epoch in range(start_epoch + 1, args.epoch):
             iteration = self.train_epoch(iteration, epoch)
-            cur = self.validation(iteration)
+            cur = (self.validation_device(iteration)
+                   if getattr(args, "device_eval", False)
+                   else self.validation(iteration))
             self.logger.info(f"joint metric: {cur:.4f}")
             model_state = {"params": self.state.params,
                            "batch_stats": self.state.batch_stats}

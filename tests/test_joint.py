@@ -228,3 +228,85 @@ def test_joint_weight_decay_semantics_pinned():
     nz = np.abs(p) > 0.05
     assert nz.sum() > 100
     assert (np.sign(d[nz]) == -np.sign(p[nz])).all()
+
+
+def test_joint_validation_device_matches_host(synth_root, tmp_path):
+    """--device_eval joint validation must reproduce the host metric
+    trees and the joint selection scalar: same seed -> same rollouts,
+    so per-task scalars agree to device-kernel tolerance (the
+    with-duration ScanMatch column gets ~1% for the documented
+    table-truncation divergence on wild untrained durations)."""
+    from scanpaths_tpu.core.config import parse_opt
+    from scanpaths_tpu.train.joint import JointTrainer
+
+    args = parse_opt([
+        "--task", "joint", "--joint_data_root", synth_root,
+        "--log_root", str(tmp_path / "logs"),
+        "--height", "40", "--width", "48",
+        "--map_height", "5", "--map_width", "6", "--max_length", "4",
+        "--embed", "128", "--backbone_layers", "1,1,1,1",
+        "--batch", "8", "--eval_repeat_num", "2", "--mesh_size", "1",
+    ])
+    trainer = JointTrainer(args)
+
+    trainer.key = jax.random.PRNGKey(99)
+    host = trainer.validation(1)
+    trainer.key = jax.random.PRNGKey(99)
+    dev = trainer.validation_device(2)
+    np.testing.assert_allclose(dev, host, rtol=1e-2)
+
+    by_step = {1: {}, 2: {}}
+    with open(join(trainer.log_dir, "scalars.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if r["step"] in by_step and "/metrics/" in r["tag"]:
+                by_step[r["step"]][r["tag"]] = r["value"]
+    assert by_step[1], "host validation wrote no metric scalars"
+    for tag, want in by_step[1].items():
+        got = by_step[2][tag]
+        rtol = 1e-2 if "with duration" in tag else 5e-4
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=5e-5,
+                                   err_msg=tag)
+    # the device sweep additionally reports its truncation counter
+    assert any(t.endswith("wd_overflow_frac") for t in by_step[2])
+
+
+def test_joint_human_baseline_device_matches_host(synth_root, tmp_path):
+    """The per-task joint human baseline under --device_eval logs the
+    same inter-observer numbers as the host path (GT only — fully
+    deterministic, no decode involved)."""
+    from scanpaths_tpu.core.config import parse_opt
+    from scanpaths_tpu.train.joint import JointTrainer
+
+    def lines(device):
+        # distinct log roots: the joint run dir name is timestamped to
+        # the minute, so two trainers in one test would share a dir
+        args = parse_opt([
+            "--task", "joint", "--joint_data_root", synth_root,
+            "--log_root", str(tmp_path / ("dev" if device else "host")),
+            "--height", "40", "--width", "48",
+            "--map_height", "5", "--map_width", "6", "--max_length", "4",
+            "--embed", "128", "--backbone_layers", "1,1,1,1",
+            "--batch", "8", "--eval_repeat_num", "1", "--mesh_size", "1",
+        ] + (["--device_eval", "True"] if device else []))
+        trainer = JointTrainer(args)
+        trainer.human_baseline()
+        out = []
+        with open(join(trainer.log_dir, "log_train.txt")) as f:
+            for line in f:
+                if "+-" in line:
+                    # "...  <name>: <v> +- <s>" -> (name, v, s)
+                    head, tail = line.rsplit(":", 1)
+                    v, s = tail.split("+-")
+                    out.append((head.split()[-1],
+                                float(v), float(s)))
+        return out
+
+    host, dev = lines(False), lines(True)
+    assert len(host) == len(dev) and len(host) > 0
+    for (hn, hv, hs), (dn, dv, ds) in zip(host, dev):
+        assert hn == dn
+        np.testing.assert_allclose(dv, hv, rtol=5e-4, atol=5e-5,
+                                   err_msg=hn)
+        np.testing.assert_allclose(ds, hs, rtol=5e-4, atol=5e-5,
+                                   err_msg=hn + " std")
