@@ -63,15 +63,99 @@ def _records(img_names, samples, trial0: int = 0):
     return recs
 
 
+def _main_bundle(args, paths):
+    """Serve from an exported AOT bundle (serve/export.py): no model
+    code, no checkpoint restore — ``jax.export.deserialize`` + call.
+    Decode mode, sample count, and geometry come from the manifest."""
+    import types
+
+    import jax
+
+    from ..data.datasets import COCO_OBJECT_NAMES
+    from ..data.transforms import load_image, resize_map
+    from ..serve.export import load_bundle
+
+    fn, mf = load_bundle(args.bundle)
+    assert mf["task"] == args.task, (
+        f"bundle was exported for task {mf['task']!r}, got --task "
+        f"{args.task!r}")
+    geo = mf["geometry"]
+    h, w = geo["height"], geo["width"]
+    mh, mw = geo["map_height"], geo["map_width"]
+    decode, num_samples = mf["decode"], mf["num_samples"]
+
+    att_paths = [p for p in args.predict_att.split(",") if p]
+    if att_paths and args.task == "osie":
+        att_paths = []
+    if att_paths:
+        assert len(att_paths) == len(paths)
+    if args.task == "coco":
+        cats = [c for c in args.target_category.split(",") if c]
+        assert cats, "--target_category required for a coco bundle"
+        if len(cats) == 1:
+            cats = cats * len(paths)
+        task_ids = np.asarray([COCO_OBJECT_NAMES.index(c) for c in cats],
+                              np.int32)
+
+    # symbolic-batch bundles serve the actual chunk; fixed-batch
+    # bundles get tail chunks padded to the baked batch size
+    bs = len(paths) if mf["batch"] == "sym" else int(mf["batch"])
+    key = jax.random.PRNGKey(args.seed)
+    records = []
+    for lo in range(0, len(paths), bs):
+        chunk = paths[lo:lo + bs]
+        n_real = len(chunk)
+        pad = 0 if mf["batch"] == "sym" else bs - n_real
+        images = np.stack(
+            [load_image(p, h, w) for p in chunk]
+            + [np.zeros((h, w, 3), np.float32)] * pad)
+        feed = []
+        if decode == "sample":
+            key, sub = jax.random.split(key)
+            feed.append(np.uint32(jax.random.randint(
+                sub, (), 0, np.iinfo(np.int32).max)))
+        feed.append(images)
+        if args.task in ("air", "coco"):
+            amaps = np.zeros((len(images), mh, mw), np.float32)
+            for i, ap in enumerate(att_paths[lo:lo + bs]):
+                m = np.load(ap).astype(np.float32)
+                m = resize_map(m, (mh, mw))
+                amaps[i] = m / max(float(m.max()), 1e-12)
+            feed.append(amaps[..., None])
+        if args.task == "coco":
+            tids = np.zeros((len(images),), np.int32)
+            tids[:n_real] = task_ids[lo:lo + n_real]
+            feed.append(tids)
+        out = fn(*feed)
+        fix, fl = np.asarray(out["fix"]), np.asarray(out["fix_len"])
+        if decode == "greedy":            # add the [R] axis
+            fix, fl = fix[None], fl[None]
+        samples = types.SimpleNamespace(fix=fix[:, :n_real],
+                                        fix_len=fl[:, :n_real])
+        names = [os.path.basename(p) for p in chunk]
+        records.extend(_records(names, samples))
+    return records
+
+
 def main(argv=None):
     args = parse_opt(argv)
     assert args.task != "joint", (
         "serve a joint checkpoint one task at a time: pass --task "
         "osie|air|coco with --evaluation_dir pointing at the joint run "
         "(the Evaluator detects the joint checkpoint from hparams.json)")
-    assert args.evaluation_dir, "--evaluation_dir (trained run dir) required"
     paths = _expand_images(args.predict_images)
     assert paths, "--predict_images gave no image files"
+    if args.bundle:
+        records = _main_bundle(args, paths)
+        payload = json.dumps(records, indent=2)
+        if args.predict_out:
+            with open(args.predict_out, "w") as f:
+                f.write(payload)
+        else:
+            sys.stdout.write(payload + "\n")
+        return records
+    assert args.evaluation_dir, (
+        "--evaluation_dir (trained run dir) or --bundle required")
 
     import jax
 

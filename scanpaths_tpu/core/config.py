@@ -201,6 +201,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "images, or comma-separated per image)")
     p.add_argument("--predict_out", type=str, default="",
                    help="output JSON path ('' = stdout)")
+    p.add_argument("--bundle", type=str, default="",
+                   help="serve from an exported AOT bundle directory "
+                        "(serve.jaxexport + manifest.json) instead of "
+                        "rebuilding the model from --evaluation_dir; "
+                        "decode mode/samples/geometry come from the "
+                        "bundle manifest")
     # AOT export (cli/export.py — new in this framework; serialized
     # StableHLO serving bundles via jax.export)
     p.add_argument("--export_dir", type=str, default="",
@@ -211,8 +217,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "an int, or 'sym' for a symbolic (any-size) "
                         "batch dimension")
     p.add_argument("--export_platforms", type=str, default="",
-                   help="comma-separated lowering platforms (tpu,cpu); "
-                        "'' = the current default backend")
+                   help="comma-separated lowering platforms; '' = "
+                        "'cpu,tpu' (a backend-portable artifact)")
     p.add_argument("--export_check", type=str2bool, default=True,
                    help="after writing, deserialize the bundle and "
                         "verify it against the live model on random "

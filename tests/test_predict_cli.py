@@ -103,3 +103,61 @@ def test_predict_coco_requires_category(tmp_path):
         predict_cli.main(base)
     recs = predict_cli.main(base + ["--target_category", "car"])
     assert len(recs) == 2
+
+
+def _assert_records_equal(served, live):
+    """Grid-derived fields must be exact; durations may differ by one
+    float32 ulp (the bundle is lowered for platforms=["cpu","tpu"] and
+    the platform-parameterized module fuses the exp() chain differently
+    from the in-process jit)."""
+    assert len(served) == len(live)
+    for s_, l_ in zip(served, live):
+        assert {k: v for k, v in s_.items() if k != "T"} \
+            == {k: v for k, v in l_.items() if k != "T"}
+        np.testing.assert_allclose(s_["T"], l_["T"], rtol=1e-6)
+
+
+def test_predict_from_bundle_matches_live_model(tmp_path):
+    """--bundle serves the exported AOT artifact through the same CLI;
+    greedy output records must equal the live-model path's exactly
+    (same function, exported)."""
+    from scanpaths_tpu.cli import export as export_cli
+
+    run = _make_run_dir(tmp_path, "osie")
+    paths = _make_images(tmp_path, n=3)
+    bundle = tmp_path / "bundle"
+    export_cli.main(["--task", "osie", "--evaluation_dir", str(run),
+                     "--export_dir", str(bundle), "--export_batch", "2",
+                     "--export_check", "False"] + TINY)
+
+    base = ["--task", "osie", "--predict_images", ",".join(paths),
+            "--decode", "greedy"] + TINY
+    live = predict_cli.main(base + ["--evaluation_dir", str(run)])
+    served = predict_cli.main(base + ["--bundle", str(bundle)])
+    _assert_records_equal(served, live)
+
+    # a task-mismatched bundle is refused loudly
+    with pytest.raises(AssertionError, match="task"):
+        predict_cli.main(["--task", "air", "--predict_images", paths[0],
+                          "--bundle", str(bundle)] + TINY)
+
+
+def test_predict_from_symbolic_bundle(tmp_path):
+    """A batch='sym' bundle serves any image count in one chunk, no
+    padding."""
+    from scanpaths_tpu.cli import export as export_cli
+
+    run = _make_run_dir(tmp_path, "osie")
+    paths = _make_images(tmp_path, n=3)
+    bundle = tmp_path / "bundle_sym"
+    export_cli.main(["--task", "osie", "--evaluation_dir", str(run),
+                     "--export_dir", str(bundle), "--export_batch", "sym",
+                     "--export_check", "False"] + TINY)
+    live = predict_cli.main(["--task", "osie", "--evaluation_dir",
+                             str(run), "--predict_images",
+                             ",".join(paths), "--decode", "greedy"]
+                            + TINY)
+    served = predict_cli.main(["--task", "osie", "--bundle", str(bundle),
+                               "--predict_images", ",".join(paths)]
+                              + TINY)
+    _assert_records_equal(served, live)
