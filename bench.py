@@ -177,7 +177,12 @@ def main():
     if backbone_impl == "pallas" and not (DTYPE == "bfloat16"
                                           and pallas_block.available()):
         backbone_impl = "xla"
-    model = create_model("osie", dtype=dtype, cell_impl=cell_impl)
+    # SP_STEM_IMPL=s2d opts into the exact space-to-depth stem
+    # (models/resnet.py::s2d_stem_conv — same checkpoint, 12-wide MXU
+    # contraction instead of 3 on the pixel input).
+    stem_impl = os.environ.get("SP_STEM_IMPL", "conv")
+    model = create_model("osie", dtype=dtype, cell_impl=cell_impl,
+                         stem_impl=stem_impl)
     grid = GridSpec()
     # generate the input batch ON DEVICE: materializing 472MB on the
     # host and pushing it through the ~MB/s tunnel costs minutes of
@@ -263,6 +268,7 @@ def main():
         "batch": BATCH,
         "cell_impl": cell_impl,
         "backbone_impl": backbone_impl,
+        "stem_impl": stem_impl,
         "n_chips": n_chips,
         "checksum": round(checksum, 2),
     }))

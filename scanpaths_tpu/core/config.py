@@ -144,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--half_precision", type=str2bool, default=False,
                    help="bf16 compute dtype for the model (params stay "
                         "f32); the TPU MXU path")
+    p.add_argument("--stem_impl", type=str, default="conv",
+                   choices=("conv", "s2d"),
+                   help="backbone stem implementation: 'conv' = the "
+                        "pixel-space 7x7/s2 convolution; 's2d' = the "
+                        "exact space-to-depth reformulation (same "
+                        "parameters/checkpoints, fewer idle MXU lanes "
+                        "on the 3-channel input)")
     p.add_argument("--remat", type=str2bool, default=False,
                    help="rematerialize decode-step activations in "
                         "backprop (jax.checkpoint): ~1 extra forward "

@@ -100,6 +100,52 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+def s2d_stem_conv(x: jnp.ndarray, k7: jnp.ndarray,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """The stem's 7x7/stride-2/pad-3 convolution computed as
+    space-to-depth(2) + a 4x4/stride-1 convolution (the MLPerf ResNet
+    "conv0 space-to-depth" transform) — EXACT, not an approximation.
+
+    The pixel-space conv reads 3 input channels, which leaves the MXU's
+    128-wide contraction lanes ~98% idle; packing 2x2 pixel blocks into
+    channels raises the contraction to 12 and cuts the stem's HBM
+    rounds.  Derivation: zero-pad the kernel to 8x8 at the top-left so
+    output pixel i reads rows 2i-4..2i+3 — exactly four stride-2 cells
+    i-2..i+1 — then regroup kernel taps by (row phase r, col phase s):
+
+        out[i,j] = sum_{a,b in [0,8)} K8[a,b,c] X[2i-4+a, 2j-4+b, c]
+                 = sum_{u,v in [0,4)} K4[u,v,(r,s,c)] X2[i-2+u, j-2+v,
+                                                          (r,s,c)]
+        with X2[p,q,(r,s,c)] = X[2p+r, 2q+s, c],
+             K4[u,v,(r,s,c)] = K8[2u+r, 2v+s, c].
+
+    The extra zero row/col of K8 multiplies the one extra padded input
+    row/col, so every term matches the original sum.  Requires even
+    H, W (true of every supported geometry).  The parameter stays the
+    standard [7,7,3,64] kernel — checkpoints port unchanged in both
+    directions."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    co = k7.shape[-1]
+    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    k8 = jnp.pad(k7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k4 = k8.reshape(4, 2, 4, 2, c, co).transpose(0, 2, 1, 3, 4, 5) \
+        .reshape(4, 4, 4 * c, co)
+    return jax.lax.conv_general_dilated(
+        x2.astype(dtype), k4.astype(dtype), (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _StemKernel(nn.Module):
+    """Param holder so the s2d stem shares the conv path's exact
+    parameter tree (params["conv1"]["kernel"], shape [7,7,3,64])."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", he_conv_init, (7, 7, 3, 64))
+
+
 def _ceil_maxpool(x, window=3, stride=2):
     """MaxPool2d(kernel=3, stride=2, padding=0, ceil_mode=True)."""
     h, w = x.shape[1], x.shape[2]
@@ -125,12 +171,22 @@ class DilatedResNet50(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
     remat: bool = False
+    # "conv" = the pixel-space 7x7/s2 stem; "s2d" = the exact
+    # space-to-depth reformulation (s2d_stem_conv) — same parameter
+    # tree, same numbers up to conv-sum reassociation, fewer idle MXU
+    # lanes on the 3-channel input
+    stem_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype,
-                    kernel_init=he_conv_init, name="conv1")(x)
+        if self.stem_impl == "s2d":
+            k7 = _StemKernel(name="conv1")()
+            x = s2d_stem_conv(x, k7, dtype=self.dtype)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=False,
+                        dtype=self.dtype, kernel_init=he_conv_init,
+                        name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)

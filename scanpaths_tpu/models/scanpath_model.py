@@ -88,6 +88,9 @@ class ScanpathModel(nn.Module):
     # tiny 512->1 convs hoisted-composed once per forward.  Exact up to
     # float reassociation (tests/test_fused_head.py); same checkpoint.
     fuse_head: bool = True
+    # backbone stem implementation ("conv" | "s2d"); see
+    # resnet.DilatedResNet50.stem_impl
+    stem_impl: str = "conv"
 
     @property
     def hw(self) -> int:
@@ -95,7 +98,8 @@ class ScanpathModel(nn.Module):
 
     def setup(self):
         self.backbone = DilatedResNet50(layers=self.backbone_layers,
-                                        dtype=self.dtype, remat=self.remat)
+                                        dtype=self.dtype, remat=self.remat,
+                                        stem_impl=self.stem_impl)
         self.sal_conv = nn.Conv(self.embed, (3, 3), padding=[(1, 1), (1, 1)],
                                 kernel_init=xavier_conv_init,
                                 dtype=self.dtype)
@@ -394,6 +398,7 @@ class JointScanpathModel(nn.Module):
     backbone_layers: tuple = (3, 4, 6, 3)
     remat: bool = False
     fuse_head: bool = True
+    stem_impl: str = "conv"
 
     def setup(self):
         kw = dict(seq_len=self.seq_len, map_h=self.map_h, map_w=self.map_w,
@@ -401,7 +406,8 @@ class JointScanpathModel(nn.Module):
                   dtype=self.dtype, backbone_layers=self.backbone_layers,
                   remat=self.remat, fuse_head=self.fuse_head)
         self.backbone = DilatedResNet50(layers=self.backbone_layers,
-                                        dtype=self.dtype, remat=self.remat)
+                                        dtype=self.dtype, remat=self.remat,
+                                        stem_impl=self.stem_impl)
         self.osie = ScanpathModel(task="osie", **kw)
         self.air = ScanpathModel(task="air", **kw)
         self.coco = ScanpathModel(task="coco", **kw)

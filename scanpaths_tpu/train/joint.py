@@ -163,6 +163,7 @@ class JointTrainer:
             seq_len=args.max_length, map_h=args.map_height,
             map_w=args.map_width, embed=args.embed, backbone_layers=layers,
             remat=getattr(args, "remat", False),
+            stem_impl=getattr(args, "stem_impl", "conv"),
             dtype=jnp.bfloat16 if args.half_precision else jnp.float32)
         self.mesh = make_mesh(args.mesh_size)
 

@@ -101,6 +101,7 @@ def build_model(args):
         map_w=args.map_width, embed=getattr(args, "embed", 512),
         backbone_layers=layers,
         remat=getattr(args, "remat", False),
+        stem_impl=getattr(args, "stem_impl", "conv"),
         dtype=jnp.bfloat16 if getattr(args, "half_precision", False)
         else jnp.float32)
 
@@ -309,6 +310,7 @@ class Evaluator(EvalCore):
                 seq_len=args.max_length, map_h=args.map_height,
                 map_w=args.map_width, embed=args.embed,
                 backbone_layers=layers,
+                stem_impl=getattr(args, "stem_impl", "conv"),
                 dtype=jnp.bfloat16 if args.half_precision
                 else jnp.float32)
             att = jnp.zeros((n, args.map_height, args.map_width, 1),
