@@ -140,6 +140,54 @@ def test_pair_rows_fuzz_vs_host_oracles(seed):
         np.testing.assert_allclose(rows[i, 8], stde, rtol=1e-4, err_msg=ctx)
 
 
+def _decode_like(rng, l, repeat_prob=0.5):
+    """A prediction the decoder could emit: fixations on grid-cell
+    centers (8 px pitch at the 240x320/30x40 geometry), frequently
+    REPEATING the previous saccade — which makes whole alignment-DP
+    columns exactly tied — with continuous LogNormal-ish durations."""
+    f = np.zeros((L, 3), np.float32)
+    col = rng.integers(0, 40)
+    row = rng.integers(0, 30)
+    dc, dr = 0, 0
+    for t in range(l):
+        f[t, 0] = 8 * col + 4
+        f[t, 1] = 8 * row + 4
+        if t == 0 or rng.random() > repeat_prob or (dc == 0 and dr == 0):
+            dc = int(rng.integers(-6, 7))
+            dr = int(rng.integers(-5, 6))
+        col = int(np.clip(col + dc, 0, 39))
+        row = int(np.clip(row + dr, 0, 29))
+    f[:l, 2] = np.exp(rng.normal(-1.2, 0.8, l)).astype(np.float32)
+    return f, l
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_multimatch_decode_like_ties_fuzz(seed):
+    """Continuous near-tie sensitivity (VERDICT r2 item 8): decoded
+    scanpaths land on grid centers and often repeat saccades, creating
+    EXACT alignment ties that float noise in the device DP used to
+    break differently from the host — with path-dependent position/
+    duration swings (the joint AiR ~1% regression).  Sweep many
+    GT-continuous vs decode-like pairs through the kernel and require
+    column-for-column agreement with the host oracle."""
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for _ in range(24):
+        gt = _uniform(rng, int(rng.integers(3, L + 1)))
+        pred = _decode_like(rng, int(rng.integers(3, 9)))
+        pairs.append(gt + pred)
+    fa, la, fb, lb = _stack(pairs)
+    dev = np.asarray(jm.multimatch_scores(
+        jnp.asarray(fa), jnp.asarray(la), jnp.asarray(fb),
+        jnp.asarray(lb)))
+    for i in range(len(pairs)):
+        host = np.asarray(docomparison(fa[i, :la[i]], fb[i, :lb[i]],
+                                       screensize=(320, 240)), np.float64)
+        np.testing.assert_allclose(
+            dev[i], host, rtol=3e-5, atol=3e-5, equal_nan=True,
+            err_msg=f"seed {seed} pair {i}")
+
+
 def test_pair_rows_identical_scanpaths_perfect_scores(rng):
     """Identity pairs: ScanMatch = 1, SED = 0, MultiMatch = 1."""
     fa, la, _, _ = _stack([_uniform(rng, int(rng.integers(3, L + 1)))
