@@ -6,8 +6,21 @@ a small serving batch.  Same honesty rules as bench.py: every timed
 iteration materializes a device-computed scalar on the host (the only
 true barrier on a tunneled backend).
 
-Usage: python tools/bench_serving.py            # current backend
+Usage: python tools/bench_serving.py            # live model, random init
+       python tools/bench_serving.py --bundle DIR   # exported AOT bundle
        JAX_PLATFORMS=cpu python tools/bench_serving.py
+
+With --bundle the step is the deserialized StableHLO module from
+serve/export.py (`load_bundle`) — the deployment artifact itself is
+what gets timed, no flax or model source in the serving process path.
+The bundle must be greedy-decode; batch sizes come from the manifest
+("sym" bundles are timed at 1 and 8).
+
+Tunnel caveat: a full-geometry bundle bakes the weights in as module
+constants (~270 MB), which exceeds THIS box's axon remote_compile
+request cap (HTTP 413) — on a directly-attached TPU or the CPU
+backend the bundle compiles and serves normally
+(`JAX_PLATFORMS=cpu python tools/bench_serving.py --bundle DIR`).
 """
 
 from __future__ import annotations
@@ -33,42 +46,73 @@ import numpy as np
 ITERS = int(os.environ.get("BENCH_ITERS", "30"))
 
 
-def main():
+def _live_step(dtype):
     from scanpaths_tpu.core.grid import GridSpec
     from scanpaths_tpu.models.scanpath_model import create_model
     from scanpaths_tpu.ops.sampling import greedy_sample, sample_checksum
 
-    dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" \
-        else jnp.float32
     model = create_model("osie", dtype=dtype)
     grid = GridSpec()
-    rng = np.random.default_rng(0)
-    # params are batch-shape-independent: init ONCE, reuse per batch size
     variables = jax.jit(lambda k: model.init(
         k, jnp.zeros((1, 240, 320, 3), jnp.float32), train=False))(
         jax.random.PRNGKey(0))
 
+    # variables must stay a runtime ARGUMENT: closing over them bakes
+    # ~100 MB of weights into the lowered module as constants, which
+    # the axon tunnel's remote_compile endpoint rejects (HTTP 413)
+    @jax.jit
+    def _step(variables, images):
+        out = model.apply(variables, images, train=False)
+        s = greedy_sample(out["all_actions_prob"], out["log_normal_mu"],
+                          out["log_normal_sigma2"], grid)
+        return s.fix, s.fix_len, sample_checksum(s)
+
+    return lambda images: _step(variables, images), (1, 8), (240, 320)
+
+
+def _bundle_step(bundle_dir: str):
+    from scanpaths_tpu.serve.export import load_bundle
+
+    fn, mf = load_bundle(bundle_dir)
+    assert mf["decode"] == "greedy", (
+        f"serving-latency bench times greedy bundles; this one is "
+        f"{mf['decode']!r}")
+    assert mf["task"] == "osie", mf["task"]
+    geo = mf["geometry"]
+    batches = (1, 8) if mf["batch"] == "sym" else (int(mf["batch"]),)
+
+    def step(images):
+        out = fn(images)
+        return (out["fix"], out["fix_len"],
+                jnp.sum(out["fix"] * (out["fix_len"] > 0)[:, None, None]))
+
+    return step, batches, (geo["height"], geo["width"])
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    bundle = argv[argv.index("--bundle") + 1] if "--bundle" in argv else ""
+
+    dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" \
+        else jnp.float32
+    if bundle:
+        step, batches, (h, w) = _bundle_step(bundle)
+    else:
+        step, batches, (h, w) = _live_step(dtype)
+    rng = np.random.default_rng(0)
+
     results = {}
-    for batch in (1, 8):
-        images = jnp.asarray(rng.normal(size=(batch, 240, 320, 3)),
+    for batch in batches:
+        images = jnp.asarray(rng.normal(size=(batch, h, w, 3)),
                              jnp.float32)
-
-        @jax.jit
-        def step(variables, images):
-            out = model.apply(variables, images, train=False)
-            s = greedy_sample(out["all_actions_prob"],
-                              out["log_normal_mu"],
-                              out["log_normal_sigma2"], grid)
-            return s.fix, s.fix_len, sample_checksum(s)
-
         for _ in range(3):  # warmup / compile
-            fix, fl, chk = step(variables, images)
+            fix, fl, chk = step(images)
         float(np.asarray(chk))
 
         lat = []
         for _ in range(ITERS):
             t0 = time.perf_counter()
-            _, _, chk = step(variables, images)
+            _, _, chk = step(images)
             float(np.asarray(chk))  # true barrier
             lat.append(time.perf_counter() - t0)
         lat_ms = np.sort(np.asarray(lat)) * 1e3
@@ -80,6 +124,7 @@ def main():
 
     print(json.dumps({
         "metric": "greedy_serving_latency",
+        "source": "bundle" if bundle else "live_model",
         "platform": jax.devices()[0].platform,
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
                      else dtype),
