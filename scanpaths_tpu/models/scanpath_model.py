@@ -330,10 +330,16 @@ class ScanpathModel(nn.Module):
                                             cell_kt)
         if self.remat:
             body = nn.remat(body, prevent_cse=False)
+        # SP_SCAN_UNROLL=k emits k decode steps per scan iteration so
+        # XLA can overlap their non-MXU tails (same math — scan
+        # unrolling only changes scheduling).  Measured neutral-to-
+        # negative at bench geometry (docs/PERF.md), default 1.
+        from .components import _impl_flag
         scan = nn.scan(body,
                        variable_broadcast="params",
                        split_rngs={"params": False, "dropout": False},
-                       length=self.seq_len)
+                       length=self.seq_len,
+                       unroll=int(_impl_flag("SP_SCAN_UNROLL", "1")))
         _, ys = scan(self, carry, None)
 
         def stack(seq_outs):
