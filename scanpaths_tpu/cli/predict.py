@@ -84,22 +84,42 @@ def _main_bundle(args, paths):
     mh, mw = geo["map_height"], geo["map_width"]
     decode, num_samples = mf["decode"], mf["num_samples"]
 
+    # decode mode and sample count are BAKED into the bundle; warn when
+    # the CLI asks for something else (mirrors the live path's
+    # ignored-flag warnings, predict.py live branch below)
+    if args.decode and args.decode != decode:
+        print(f"[predict] warning: --decode {args.decode} is ignored; "
+              f"the bundle was exported with decode={decode!r}",
+              file=sys.stderr)
+    if args.num_samples and args.num_samples != num_samples:
+        print(f"[predict] warning: --num_samples {args.num_samples} is "
+              f"ignored; the bundle was exported with "
+              f"num_samples={num_samples}", file=sys.stderr)
+
     att_paths = [p for p in args.predict_att.split(",") if p]
     if att_paths and args.task == "osie":
+        print("[predict] warning: --predict_att is ignored for an osie "
+              "bundle (the osie model takes no attention input)",
+              file=sys.stderr)
         att_paths = []
     if att_paths:
-        assert len(att_paths) == len(paths)
+        assert len(att_paths) == len(paths), (
+            f"{len(att_paths)} attention maps for {len(paths)} images")
     if args.task == "coco":
         cats = [c for c in args.target_category.split(",") if c]
         assert cats, "--target_category required for a coco bundle"
         if len(cats) == 1:
             cats = cats * len(paths)
+        assert len(cats) == len(paths), (
+            f"{len(cats)} target categories for {len(paths)} images")
         task_ids = np.asarray([COCO_OBJECT_NAMES.index(c) for c in cats],
                               np.int32)
 
-    # symbolic-batch bundles serve the actual chunk; fixed-batch
-    # bundles get tail chunks padded to the baked batch size
-    bs = len(paths) if mf["batch"] == "sym" else int(mf["batch"])
+    # symbolic-batch bundles accept any chunk size, but serving the
+    # whole list as ONE call would stack every image on the host and
+    # device at once — chunk by --batch; fixed-batch bundles get tail
+    # chunks padded to the baked batch size
+    bs = max(args.batch, 1) if mf["batch"] == "sym" else int(mf["batch"])
     key = jax.random.PRNGKey(args.seed)
     records = []
     for lo in range(0, len(paths), bs):

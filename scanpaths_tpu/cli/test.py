@@ -114,13 +114,7 @@ def main(argv=None):
 
     if sweep is not None:
         cur_metrics, cur_std = sweep.result()
-        ov = sweep.overflow
-        if ov["count"]:
-            evaluator.logger.warning(
-                f"device-eval w/-duration table overflow: {ov['count']}/"
-                f"{ov['total']} rollouts ({ov['frac']:.2%}) prefix-"
-                f"truncated — the with-duration ScanMatch column may "
-                f"differ from a host-suite run")
+        sweep.log_overflow(evaluator.logger)
     elif args.task == "air":
         cur_metrics, cur_std, _ = heval.evaluation_performance_related(
             all_gt, all_pred, all_perf, all_alloc)

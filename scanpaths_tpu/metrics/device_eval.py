@@ -162,6 +162,24 @@ def _human_evaluation_air_device(loader, spec_wd, spec_wod):
     return metrics, stds, per_qid
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _pair_rows_and_overflow(spec_wd, spec_wod, gt_fix, gt_len,
+                            pred_fix, pred_len):
+    """:func:`pair_rows` plus the rollout truncation count, fused into
+    one program.  The w/-duration NW table bound is sized from the
+    SPLIT's GT (trainer._eval_specs); sampled rollouts have unbounded
+    LogNormal durations, so one can always expand past the static cap
+    and get prefix-truncated where the host suite would not.  Counting
+    those rollouts in the same program keeps the divergence loud (the
+    RL path already reports the analogous reward_overflow_frac) at
+    zero extra device calls."""
+    rows = pair_rows(spec_wd, spec_wod, gt_fix, gt_len,
+                     pred_fix, pred_len)
+    ov = jnp.sum(jm.expansion_overflow(spec_wd, pred_fix, pred_len)
+                 .astype(jnp.int32))
+    return rows, ov
+
+
 class DeviceSweep:
     """Accumulates device-computed pair rows across validation batches
     and reproduces ``evaluation(...)``'s aggregation exactly."""
@@ -175,18 +193,6 @@ class DeviceSweep:
         self._overflow = 0                     # truncated rollouts
         self._preds = 0                        # rollouts seen
 
-    def _count_overflow(self, pred_fix, pred_len):
-        """The w/-duration NW table bound is sized from the SPLIT's GT
-        (trainer._eval_specs); sampled rollouts have unbounded LogNormal
-        durations, so one can always expand past the static cap and get
-        prefix-truncated where the host suite would not.  Count those
-        rollouts so the divergence is never silent (the RL path already
-        reports the analogous reward_overflow_frac)."""
-        ov = jm.expansion_overflow(self.spec_wd, jnp.asarray(pred_fix),
-                                   jnp.asarray(pred_len))
-        self._overflow += int(np.asarray(jnp.sum(ov)))
-        self._preds += int(np.asarray(pred_len).shape[0])
-
     @property
     def overflow(self) -> dict:
         """{count, total, frac} of prediction rollouts whose TempBin
@@ -196,15 +202,41 @@ class DeviceSweep:
         return {"count": self._overflow, "total": self._preds,
                 "frac": self._overflow / max(self._preds, 1)}
 
+    def log_overflow(self, logger, writer=None,
+                     tag: str = "metrics/wd_overflow_frac",
+                     step: int = 0, prefix: str = ""):
+        """Surface the truncation counter: a scalar for the writer (if
+        given) and a WARNING when any rollout was truncated — one
+        shared wording so the trainer, joint trainer, and test CLI
+        never drift."""
+        ov = self.overflow
+        if writer is not None:
+            writer.add_scalar(tag, ov["frac"], step)
+        if ov["count"]:
+            logger.warning(
+                f"{prefix}device-eval w/-duration table overflow: "
+                f"{ov['count']}/{ov['total']} rollouts ({ov['frac']:.2%}) "
+                f"prefix-truncated — the with-duration ScanMatch column "
+                f"may differ from a host-suite run")
+
+    def _compute_rows(self, gt_fix, gt_len, pred_fix, pred_len) -> np.ndarray:
+        """Pair rows + the overflow count in ONE jitted program and one
+        host sync (eagerly dispatching the overflow ops would pay
+        several per-op round-trips through the device tunnel on the
+        path this sweep exists to keep off the host)."""
+        rows, ov = _pair_rows_and_overflow(
+            self.spec_wd, self.spec_wod, jnp.asarray(gt_fix),
+            jnp.asarray(gt_len), jnp.asarray(pred_fix),
+            jnp.asarray(pred_len))
+        rows = np.asarray(rows, np.float64)
+        self._overflow += int(np.asarray(ov))
+        self._preds += int(np.asarray(pred_len).shape[0])
+        return rows
+
     def add_batch(self, gt_fix, gt_len, gt_mask, pred_fix, pred_len):
         """One decode repeat of one batch: gt_* [N, S, ...] (mask 1 =
         real subject), pred_* [N, ...]."""
-        self._count_overflow(pred_fix, pred_len)
-        rows = np.asarray(pair_rows(self.spec_wd, self.spec_wod,
-                                    jnp.asarray(gt_fix),
-                                    jnp.asarray(gt_len),
-                                    jnp.asarray(pred_fix),
-                                    jnp.asarray(pred_len)), np.float64)
+        rows = self._compute_rows(gt_fix, gt_len, pred_fix, pred_len)
         mask = np.asarray(gt_mask).astype(bool)
         for i in range(rows.shape[0]):
             self._rows.append(rows[i][mask[i]])
@@ -216,12 +248,7 @@ class DeviceSweep:
         predictions.  Mirrors evaluation_performance_related's NaN-skip
         + (perf == alloc) bucketing (reference AiR/utils/evaluation.py:
         188-359)."""
-        self._count_overflow(pred_fix, pred_len)
-        rows = np.asarray(pair_rows(self.spec_wd, self.spec_wod,
-                                    jnp.asarray(gt_fix),
-                                    jnp.asarray(gt_len),
-                                    jnp.asarray(pred_fix),
-                                    jnp.asarray(pred_len)), np.float64)
+        rows = self._compute_rows(gt_fix, gt_len, pred_fix, pred_len)
         mask = np.asarray(gt_mask).astype(bool)
         for i in range(rows.shape[0]):
             r = rows[i][mask[i]]

@@ -315,7 +315,7 @@ def _mm_traceback(table, m, na, nb, max_path: int):
     Returns (cells [max_path, 2] int32, valid [max_path] bool) — cells
     are emitted end-first and include both endpoints.
 
-    Ties are detected with a tolerance scaled to the path-cost
+    Ties are detected with a tolerance scaled to the LOCAL cell
     magnitude: `_mm_align_table`'s min-plus prefix scan reassociates
     the cost sums (cumsum then cummin), so two EXACTLY tied alignments
     — common for decoded scanpaths, where repeated saccades make whole
@@ -324,13 +324,16 @@ def _mm_traceback(table, m, na, nb, max_path: int):
     host's deterministic diag > up > left order.  The flipped path is
     still cost-optimal, but path-dependent columns (position, duration)
     then diverge from the host suite (observed: a single tied pair
-    moving the aggregated AiR MultiMatch-duration by ~1%).  Costs that
-    genuinely differ by less than ~16 ulps of the total are fp-ambiguous
-    either way; resolving them like exact ties is the consistent
-    choice."""
+    moving the aggregated AiR MultiMatch-duration by ~1%).  The
+    reassociation noise at a cell is a few ulps of the costs
+    accumulated UP TO that cell, so the tolerance scales with the
+    candidates at the cell (not the endpoint total, which would
+    over-tolerate near the origin where table entries are far
+    smaller): costs that genuinely differ by less than ~16 ulps of
+    the local magnitude are fp-ambiguous either way; resolving them
+    like exact ties is the consistent choice."""
     big = jnp.float32(3.4e38)
-    total = table[na - 1, nb - 1]
-    tol = 16 * jnp.finfo(table.dtype).eps * (jnp.abs(total) + 1)
+    eps16 = 16 * jnp.finfo(table.dtype).eps
 
     def body(k, carry):
         i, j, done, cells, valid = carry
@@ -341,6 +344,7 @@ def _mm_traceback(table, m, na, nb, max_path: int):
         d_up = jnp.where(i > 0, table[i - 1, j], big)
         d_left = jnp.where(j > 0, table[i, j - 1], big)
         best = jnp.minimum(d_diag, jnp.minimum(d_up, d_left))
+        tol = eps16 * (jnp.abs(best) + 1)
         take_diag = d_diag <= best + tol
         take_up = (~take_diag) & (d_up <= best + tol)
         ni = jnp.where(take_diag | take_up, i - 1, i)

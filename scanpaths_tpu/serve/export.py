@@ -47,6 +47,7 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.grid import GridSpec
 from ..ops.sampling import greedy_sample, random_sample
@@ -150,6 +151,10 @@ def export_bundle(out_dir: str, model, variables: dict, grid: GridSpec,
         "stream": stream if model.task == "air" else None,
         "batch": "sym" if batch == "sym" else int(batch),
         "platforms": list(exp.platforms),
+        # the compute dtype BAKED into the exported module — the
+        # serving process can't change it, so record it for benches
+        # and deployment inventories
+        "model_dtype": np.dtype(model.dtype).name,
         "geometry": {"height": grid.height, "width": grid.width,
                      "map_height": map_h, "map_width": map_w,
                      "max_length": grid.max_length,

@@ -56,7 +56,7 @@ from ..utils.recording import RecordManager
 from . import steps
 from .mesh import make_mesh, replicated, shard_batch
 from .schedule import lr_multiplier, make_optimizer
-from .trainer import ScalarWriter, grid_spec
+from .trainer import ScalarWriter, grid_spec, log_metric_tree
 from .steps import RLConfig, TrainState
 
 TASKS = ("osie", "air", "coco")
@@ -427,14 +427,9 @@ class JointTrainer:
                              f"iteration {iteration}: ScanMatch hmean "
                              f"{hm:.4f}")
             self._write_metric_scalars(task, m, iteration)
-            ov = sweep.overflow
-            self.writer.add_scalar(f"{task}/metrics/wd_overflow_frac",
-                                   ov["frac"], iteration)
-            if ov["count"]:
-                self.logger.warning(
-                    f"[{task}] device-eval w/-duration table overflow: "
-                    f"{ov['count']}/{ov['total']} rollouts "
-                    f"({ov['frac']:.2%}) prefix-truncated")
+            sweep.log_overflow(self.logger, self.writer,
+                               tag=f"{task}/metrics/wd_overflow_frac",
+                               step=iteration, prefix=f"[{task}] ")
         joint = float(scipy.stats.hmean(task_hmeans))
         self.writer.add_scalar("current metric", joint, iteration)
         return joint
@@ -456,16 +451,7 @@ class JointTrainer:
                 metrics, stds, _ = heval.human_evaluation(
                     ctx.validation_loader, task=task)
             self.logger.info(f"[{task}] metrics for human performance:")
-
-            def walk(m, s, prefix):
-                for k, v in m.items():
-                    if isinstance(v, dict):
-                        walk(v, s[k], prefix + [k])
-                    else:
-                        self.logger.info(
-                            f"{'-'.join(prefix):24}-{k:15}: {v:.4f} "
-                            f"+- {s[k]:.4f}")
-            walk(metrics, stds, [])
+            log_metric_tree(self.logger, metrics, stds)
 
     # ------------------------------------------------------------------
     def fit(self) -> float:

@@ -130,6 +130,20 @@ def eval_specs(ds, grid: GridSpec):
     return spec_wd, spec_wod
 
 
+def log_metric_tree(logger, metrics, stds):
+    """Reference-format metric printout (``<group>-<metric>: m +- s``
+    rows, reference OSIE/train.py:326-338), shared by the single-task
+    trainer, the joint trainer, and the test CLI."""
+    def walk(m, s, prefix):
+        for k, v in m.items():
+            if isinstance(v, dict):
+                walk(v, s[k], prefix + [k])
+            else:
+                logger.info(f"{'-'.join(prefix):24}-{k:15}: {v:.4f} "
+                            f"+- {s[k]:.4f}")
+    walk(metrics, stds, [])
+
+
 class EvalCore:
     """Shared decode/eval plumbing: jitted eval forward + batched
     sampler + host-metric logging.  ``Trainer`` adds the training stack
@@ -243,15 +257,7 @@ class EvalCore:
             f"Evaluation metrics (device sweep) after iteration "
             f"{iteration}:")
         self._log_metric_tree(cur_metrics, cur_std, iteration)
-        ov = sweep.overflow
-        self.writer.add_scalar("metrics/wd_overflow_frac", ov["frac"],
-                               iteration)
-        if ov["count"]:
-            self.logger.warning(
-                f"device-eval w/-duration table overflow: {ov['count']}/"
-                f"{ov['total']} rollouts ({ov['frac']:.2%}) prefix-"
-                f"truncated — the with-duration ScanMatch column may "
-                f"differ from a host-suite run")
+        sweep.log_overflow(self.logger, self.writer, step=iteration)
         return cur_metrics
 
     def selection_metric(self, cur_metrics) -> float:
@@ -263,15 +269,7 @@ class EvalCore:
         return float(scipy.stats.hmean(vals))
 
     def _log_metric_tree_quiet(self, metrics, stds):
-        def walk(m, s, prefix):
-            for k, v in m.items():
-                if isinstance(v, dict):
-                    walk(v, s[k], prefix + [k])
-                else:
-                    self.logger.info(
-                        f"{'-'.join(prefix):24}-{k:15}: {v:.4f} "
-                        f"+- {s[k]:.4f}")
-        walk(metrics, stds, [])
+        log_metric_tree(self.logger, metrics, stds)
 
 
 class Evaluator(EvalCore):

@@ -35,10 +35,18 @@ from typing import Any
 from flax import serialization
 
 
-def _foreign_artifacts(directory: str, prefix: str, suffix: str):
-    """Existing checkpoint artifacts of the OTHER backend in this dir."""
-    return [n for n in (f"{prefix}{suffix}", f"{prefix}_best{suffix}")
-            if os.path.exists(join(directory, n))]
+def _backend_artifacts(directory: str, prefix: str, suffix: str):
+    """Checkpoint artifacts a backend may have left in this dir —
+    final names plus the orbax commit-swap leftovers (``.old`` from a
+    crash between the two renames, ``.new`` from a crash mid-write).
+    The write guards and ``detect_backend`` share this list so the
+    guard can never admit a state detection would later reject."""
+    names = []
+    for stem in (f"{prefix}{suffix}", f"{prefix}_best{suffix}"):
+        for n in (stem, stem + ".old", stem + ".new"):
+            if os.path.exists(join(directory, n)):
+                names.append(n)
+    return names
 
 
 def _atomic_write(path: str, data: bytes):
@@ -66,7 +74,7 @@ class CheckpointManager:
         self._prefix = filename_prefix
         self._best_metric = best_metric
         os.makedirs(serialization_dir, exist_ok=True)
-        foreign = _foreign_artifacts(serialization_dir, filename_prefix,
+        foreign = _backend_artifacts(serialization_dir, filename_prefix,
                                      ".orbax")
         if foreign:
             raise RuntimeError(
@@ -129,7 +137,7 @@ class OrbaxCheckpointManager:
         self._prefix = filename_prefix
         self._best_metric = best_metric
         os.makedirs(self._dir, exist_ok=True)
-        foreign = _foreign_artifacts(self._dir, filename_prefix, ".msgpack")
+        foreign = _backend_artifacts(self._dir, filename_prefix, ".msgpack")
         if foreign:
             raise RuntimeError(
                 f"refusing to write orbax checkpoints into {self._dir!r}: "
@@ -253,14 +261,10 @@ def detect_backend(checkpoints_dir: str,
     historical default.)  A directory holding BOTH backends' artifacts
     is an error: one of them is stale, and silently preferring either
     could restore older weights than the run actually has."""
-    p = filename_prefix
-    orbax = any(
-        os.path.isdir(join(checkpoints_dir, n))
-        for n in (f"{p}.orbax", f"{p}_best.orbax",
-                  f"{p}.orbax.old", f"{p}_best.orbax.old"))
-    msgpack = any(
-        os.path.exists(join(checkpoints_dir, n))
-        for n in (f"{p}.msgpack", f"{p}_best.msgpack"))
+    orbax = bool(_backend_artifacts(checkpoints_dir, filename_prefix,
+                                    ".orbax"))
+    msgpack = bool(_backend_artifacts(checkpoints_dir, filename_prefix,
+                                      ".msgpack"))
     if orbax and msgpack:
         raise RuntimeError(
             f"{checkpoints_dir!r} holds BOTH msgpack and orbax "

@@ -107,6 +107,26 @@ def test_mixed_backend_dir_is_an_explicit_error(tmp_path):
         make_checkpoint_manager(d, backend="msgpack")
 
 
+def test_crash_leftovers_count_as_backend_evidence(tmp_path):
+    """Orbax commit-swap leftovers (.old from a crash between the two
+    renames, .new from a crash mid-write) must flip detection and the
+    msgpack write guard exactly like a final-name checkpoint: otherwise
+    a msgpack run could start next to them and later auto-detecting
+    restores would hit the BOTH-backends error (or silently pick the
+    wrong backend)."""
+    import os
+    for leftover in ("checkpoint.orbax.old", "checkpoint_best.orbax.new"):
+        d = str(tmp_path / leftover.replace(".", "_"))
+        os.makedirs(os.path.join(d, leftover))
+        assert detect_backend(d) == "orbax"
+        # msgpack refuses to write next to the leftover...
+        with pytest.raises(RuntimeError, match="orbax"):
+            make_checkpoint_manager(d, backend="msgpack")
+        # ...so the admit/detect split can't create the mixed state
+        np.save(os.path.join(d, "unrelated.npy"), np.zeros(1))
+        assert detect_backend(d) == "orbax"
+
+
 def test_orbax_crash_safety_staging(tmp_path):
     """The previous checkpoint must remain complete on disk for the
     whole duration of the next async write: step() stages to

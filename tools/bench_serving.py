@@ -86,19 +86,23 @@ def _bundle_step(bundle_dir: str):
         return (out["fix"], out["fix_len"],
                 jnp.sum(out["fix"] * (out["fix_len"] > 0)[:, None, None]))
 
-    return step, batches, (geo["height"], geo["width"])
+    return step, batches, (geo["height"], geo["width"]), mf
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     bundle = argv[argv.index("--bundle") + 1] if "--bundle" in argv else ""
 
-    dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" \
-        else jnp.float32
     if bundle:
-        step, batches, (h, w) = _bundle_step(bundle)
+        step, batches, (h, w), mf = _bundle_step(bundle)
+        # the bundle's compute dtype is baked in at export; the live
+        # backend says nothing about what is being timed
+        dtype_name = mf.get("model_dtype", "baked")
     else:
+        dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" \
+            else jnp.float32
         step, batches, (h, w) = _live_step(dtype)
+        dtype_name = np.dtype(dtype).name
     rng = np.random.default_rng(0)
 
     results = {}
@@ -126,8 +130,7 @@ def main(argv=None):
         "metric": "greedy_serving_latency",
         "source": "bundle" if bundle else "live_model",
         "platform": jax.devices()[0].platform,
-        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
-                     else dtype),
+        "dtype": dtype_name,
         **results,
     }))
 
