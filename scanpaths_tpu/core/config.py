@@ -140,7 +140,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="log dir holding checkpoints/ for test.py")
     # hardware / runtime (new in this framework)
     p.add_argument("--mesh_size", type=int, default=0,
-                   help="data-parallel mesh size (0 = all devices)")
+                   help="total mesh size (0 = all devices)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel factor: weight-shards every "
+                        "conv/dense kernel row-parallel (along its "
+                        "input-channel contraction dim) over a second "
+                        "'model' mesh axis; must divide the device "
+                        "count.  1 = pure data parallelism")
     p.add_argument("--half_precision", type=str2bool, default=False,
                    help="bf16 compute dtype for the model (params stay "
                         "f32); the TPU MXU path")

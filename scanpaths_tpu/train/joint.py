@@ -54,7 +54,8 @@ from ..utils.checkpointing import (make_checkpoint_manager,
 from ..utils.logger import Logger
 from ..utils.recording import RecordManager
 from . import steps
-from .mesh import make_mesh, replicated, shard_batch
+from .mesh import (gather_spec, make_mesh, shard_batch,
+                   state_sharding)
 from .schedule import lr_multiplier, make_optimizer
 from .trainer import ScalarWriter, grid_spec, log_metric_tree
 from .steps import RLConfig, TrainState
@@ -123,19 +124,23 @@ class _TaskContext:
     def build_jits(self, trainer: "JointTrainer"):
         args = trainer.args
         view = TaskView(trainer.model, self.task)
-        rep = replicated(trainer.mesh)
+        st_sh = trainer._state_sh
+        gather = gather_spec(trainer.mesh, trainer.state.params)
         self.sup_step = jax.jit(
             functools.partial(steps.supervised_step, view,
-                              trainer.optimizer, lambda_1=args.lambda_1),
-            donate_argnums=(0,), in_shardings=(rep, None))
+                              trainer.optimizer, lambda_1=args.lambda_1,
+                              params_gather=gather),
+            donate_argnums=(0,), in_shardings=(st_sh, None),
+            out_shardings=(st_sh, None))
         self.rl_step = jax.jit(
             functools.partial(steps.rl_step, view, trainer.optimizer,
-                              cfg=self.rl_cfg),
-            donate_argnums=(0,), in_shardings=(rep, None, None))
+                              cfg=self.rl_cfg, params_gather=gather),
+            donate_argnums=(0,), in_shardings=(st_sh, None, None),
+            out_shardings=(st_sh, None))
         self.eval_forward = jax.jit(
             lambda params, bs, batch: steps._eval_forward(
                 view, params, bs, batch),
-            in_shardings=(rep, rep, None))
+            in_shardings=(st_sh.params, st_sh.batch_stats, None))
 
 
 class JointTrainer:
@@ -165,7 +170,8 @@ class JointTrainer:
             remat=getattr(args, "remat", False),
             stem_impl=getattr(args, "stem_impl", "conv"),
             dtype=jnp.bfloat16 if args.half_precision else jnp.float32)
-        self.mesh = make_mesh(args.mesh_size)
+        self.mesh = make_mesh(args.mesh_size,
+                              getattr(args, "model_parallel", 1))
 
         self.tasks = {t: _TaskContext(self, t) for t in TASKS}
         steps_sup = sum(len(c.train_loader) for c in self.tasks.values())
@@ -178,7 +184,8 @@ class JointTrainer:
             rl_lr_initial_decay=args.rl_lr_initial_decay)
 
         self.state = self._init_state()
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self._state_sh = state_sharding(self.mesh, self.state)
+        self.state = jax.device_put(self.state, self._state_sh)
         for t in TASKS:
             self.tasks[t].build_jits(self)
 
@@ -209,7 +216,7 @@ class JointTrainer:
                     params=restored["model"]["params"],
                     batch_stats=restored["model"]["batch_stats"],
                     opt_state=restored["optimizer"]),
-                replicated(self.mesh))
+                self._state_sh)
         self.key = jax.random.PRNGKey(args.seed)
 
     def _init_state(self) -> TrainState:

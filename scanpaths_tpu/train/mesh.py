@@ -1,11 +1,53 @@
-"""Device mesh and sharding helpers (data-parallel over ICI).
+"""Device mesh and sharding helpers (data + tensor parallel over ICI).
 
 The reference's parallelism surface is single-process
 ``nn.DataParallel`` over 2 GPUs (reference AiR/train.py:169-170); the
-TPU-native equivalent is a 1-D ``jax.sharding.Mesh`` with the batch
-sharded over the ``data`` axis and parameters replicated — XLA inserts
-the gradient all-reduce (psum over ICI) automatically from the sharding
-annotations.
+TPU-native equivalent is a ``jax.sharding.Mesh`` with the batch sharded
+over the ``data`` axis — XLA inserts the gradient all-reduce (psum over
+ICI) automatically from the sharding annotations.
+
+``--model_parallel T`` adds a second ``model`` axis and shards the
+network's weights row-parallel: every conv/dense KERNEL is partitioned
+along its contraction (input-channel) dimension, so parameters and
+Adam moments scale 1/T in memory on the sharded leaves.  How the
+sharded weights are USED differs by path, and deliberately so:
+
+* **Inference forwards** (the eval sweep, decode, serving) compute
+  directly on the sharded kernels: each shard contracts its channel
+  slice and XLA inserts one ``psum`` over ``model`` per sharded op.
+  Activations stay replicated on ``model`` (sharded only on ``data``),
+  so the recurrent decode scan's collective pattern is trivially
+  correct — no gather of the ConvLSTM state is ever needed, and the
+  4-gate concatenated output dimension (components.py:238 splits it
+  contiguously) never has to align with a shard boundary.  This path
+  is equivalence-proven against the replicated program (1e-5 over
+  every output head, tests/test_mesh.py).
+
+* **Training steps** instead all-gather the parameters at step entry
+  (``steps.supervised_step(params_gather=...)``, the ZeRO-3/FSDP
+  pattern) and run the forward+backward as the replicated program;
+  gradients reduce over ``data``, and the optimizer update writes the
+  new params/moments back sharded (one gather + one slice per step —
+  ~tens of MB over ICI for this model).  The gather is NOT a cop-out:
+  differentiating *through the decode scan* with contraction-sharded
+  broadcast kernels is miscompiled by BOTH current XLA partitioners
+  on a 2-D mesh (jax 0.9.0, CPU backend probes: Shardy returns
+  deterministically wrong forward losses inside value_and_grad —
+  loss_duration 0.669 -> 1.422; GSPMD returns exact losses but the
+  scan-coupled kernels' gradients come back all-zeros on a
+  data-major mesh and exactly 2x on a model-major mesh, while every
+  non-scan kernel's gradient matches to 1e-6).  The gather-at-entry
+  step sidesteps the partitioner corner entirely because its internal
+  program IS the replicated one — verified correct under BOTH
+  partitioners (step-loss equal to 3e-6), so the JAX-default
+  partitioner is left untouched; tests/test_mesh.py pins step-level
+  equivalence, which would also catch the upstream bug being fixed
+  (at which point the compute path can be re-evaluated).
+
+Pipeline/expert axes are deliberately absent: the model has no expert
+layers, and its depth (a 16-step recurrent scan over a 4-stage trunk)
+is far too shallow for pipeline bubbles to amortize — dp x tp is the
+full useful parallelism surface of this architecture.
 """
 
 from __future__ import annotations
@@ -15,10 +57,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int = 0) -> Mesh:
+def make_mesh(n_devices: int = 0, model_parallel: int = 1) -> Mesh:
     devices = jax.devices()
     if n_devices:
         devices = devices[:n_devices]
+    if model_parallel > 1:
+        if len(devices) % model_parallel:
+            raise ValueError(
+                f"model_parallel={model_parallel} must divide the device "
+                f"count ({len(devices)})")
+        return Mesh(np.asarray(devices).reshape(-1, model_parallel),
+                    ("data", "model"))
     return Mesh(np.asarray(devices), ("data",))
 
 
@@ -29,6 +78,63 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _row_parallel_spec(path, leaf, tp: int) -> P:
+    """Row-parallel PartitionSpec for one state leaf: kernels shard
+    along their contraction (input-channel) dimension when the ``model``
+    axis divides it; everything else (biases, BN scale/shift/stats,
+    optimizer scalars) replicates.  Matching is by the leaf's key path,
+    so Adam moments (whose subtrees mirror the param tree, mu/nu/
+    ...kernel) inherit their parameter's spec automatically."""
+    names = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+    if not names or names[-1] != "kernel":
+        return P()
+    shape = leaf.shape
+    if leaf.ndim >= 3:
+        # conv kernel [*spatial, in, out] (incl. the COCO head bank's
+        # leading [heads] dim): contraction dim is -2
+        dim = leaf.ndim - 2
+    elif leaf.ndim == 2:
+        # dense kernel [in, out]
+        dim = 0
+    else:
+        return P()
+    if shape[dim] % tp or shape[dim] < tp:
+        return P()  # e.g. the stem conv's in=3, attention convs' in=1
+    if shape[-1] < 8:
+        # scalar-output kernels (the 1-channel prediction-head taps,
+        # attention score layers) carry negligible FLOPs and their
+        # partial-sum psum would cost more than the sharded compute
+        # saves — replicate them
+        return P()
+    spec = [None] * leaf.ndim
+    spec[dim] = "model"
+    return P(*spec)
+
+
+def state_sharding(mesh: Mesh, tree):
+    """Per-leaf NamedShardings for a TrainState (or any params-shaped
+    pytree): row-parallel over the ``model`` axis when the mesh has
+    one, fully replicated otherwise."""
+    if "model" not in mesh.axis_names:
+        rep = replicated(mesh)
+        return jax.tree_util.tree_map(lambda _: rep, tree)
+    tp = mesh.shape["model"]
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, _row_parallel_spec(p, x, tp)),
+        tree)
+
+
+def gather_spec(mesh: Mesh, params):
+    """``params_gather`` argument for the train steps: a params-shaped
+    pytree of replicated NamedShardings when the mesh has a ``model``
+    axis (all-gather the sharded weights at step entry, ZeRO-3 style),
+    else None (params are already replicated; no constraint needed)."""
+    if "model" not in mesh.axis_names:
+        return None
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda _: rep, params)
 
 
 def shard_batch(mesh: Mesh, batch: dict, global_batch: int | None = None,
@@ -48,7 +154,7 @@ def shard_batch(mesh: Mesh, batch: dict, global_batch: int | None = None,
     ``process_count`` is overridable for single-process testing."""
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
-    n_dev = mesh.devices.size
+    n_dev = mesh.shape["data"]  # batch divisibility is per data axis
     if process_count is None:
         # same no-client-means-single-process resolution as data.Loader
         # (avoids jax.process_count() as a backend-init trigger)

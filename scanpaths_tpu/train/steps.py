@@ -101,8 +101,19 @@ def _model_inputs(task: str, batch: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 def supervised_step(model, optimizer, state: TrainState, batch: dict,
-                    lambda_1: float):
-    """One supervised update.  Returns (state, metrics)."""
+                    lambda_1: float, params_gather=None):
+    """One supervised update.  Returns (state, metrics).
+
+    ``params_gather`` (a params-shaped pytree of replicated
+    NamedShardings, or None) is the ZeRO-style parameter-sharding hook:
+    under ``--model_parallel`` the params/Adam moments live sharded
+    across the ``model`` mesh axis between steps, and this constraint
+    all-gathers them at step entry so the forward+backward runs as the
+    (equivalence-proven) replicated program — see train/mesh.py for why
+    the compute itself is not weight-sharded during training."""
+    if params_gather is not None:
+        state = state.replace(params=jax.lax.with_sharding_constraint(
+            state.params, params_gather))
 
     def loss_fn(params):
         kw = _model_inputs(model.task, batch)
@@ -198,8 +209,14 @@ def _reinforce_terms(samples, mu, sigma2):
 
 
 def rl_step(model, optimizer, state: TrainState, batch: dict, key,
-            cfg: RLConfig):
-    """One SCST update.  Returns (state, metrics)."""
+            cfg: RLConfig, params_gather=None):
+    """One SCST update.  Returns (state, metrics).
+
+    ``params_gather``: same ZeRO-style gather-at-entry hook as
+    :func:`supervised_step`."""
+    if params_gather is not None:
+        state = state.replace(params=jax.lax.with_sharding_constraint(
+            state.params, params_gather))
 
     def loss_fn(params):
         return rl_loss(model, params, state.batch_stats, batch, key, cfg)

@@ -44,7 +44,8 @@ from ..utils.checkpointing import (make_checkpoint_manager,
 from ..utils.logger import Logger, task_log_level
 from ..utils.recording import RecordManager
 from . import steps
-from .mesh import make_mesh, replicated, shard_batch
+from .mesh import (gather_spec, make_mesh, shard_batch,
+                   state_sharding)
 from .schedule import lr_multiplier, make_optimizer
 from .steps import RLConfig, TrainState
 
@@ -161,11 +162,14 @@ class EvalCore:
     key: Any
 
     def _build_eval_jits(self):
-        rep = replicated(self.mesh)
+        # replicated on a data-only mesh; row-parallel kernel sharding
+        # when the mesh has a model axis (--model_parallel)
+        p_sh = state_sharding(self.mesh, self.state.params)
+        b_sh = state_sharding(self.mesh, self.state.batch_stats)
         self._eval_forward = jax.jit(
             lambda params, bs, batch: steps._eval_forward(
                 self.model, params, bs, batch),
-            in_shardings=(rep, rep, None))
+            in_shardings=(p_sh, b_sh, None))
         self._sampler = jax.jit(
             lambda key, probs, mu, s2, n: jax.vmap(
                 lambda k: random_sample(k, probs, mu, s2, self.grid))(
@@ -289,7 +293,8 @@ class Evaluator(EvalCore):
         self.checkpoints_dir = join(log_dir, "checkpoints")
         self.logger = Logger(join(log_dir, "log_test.txt"),
                              level=task_log_level(args.task))
-        self.mesh = make_mesh(args.mesh_size)
+        self.mesh = make_mesh(args.mesh_size,
+                              getattr(args, "model_parallel", 1))
 
         trained_task = args.task
         hp_path = join(log_dir, "hparams.json")
@@ -393,7 +398,8 @@ class Trainer(EvalCore):
 
         # ---------------- model / optimizer / mesh ----------------
         self.model = build_model(args)
-        self.mesh = make_mesh(args.mesh_size)
+        self.mesh = make_mesh(args.mesh_size,
+                              getattr(args, "model_parallel", 1))
         self.optimizer = make_optimizer(args, len(self.train_loader),
                                         len(self.train_rl_loader))
         self.lr_fn = functools.partial(
@@ -420,19 +426,28 @@ class Trainer(EvalCore):
                 "ScanMatch w/-duration NW tables sized to %d symbols "
                 "(split needs %d)", max_wd, rl_ds.wd_symbols_needed)
 
-        # jitted steps: state replicated over the mesh, batch sharded on
-        # the data axis (the batch arrives pre-sharded via shard_batch;
-        # the state sharding is pinned so donation keeps it replicated)
-        rep = replicated(self.mesh)
-        self.state = jax.device_put(self.state, rep)
+        # jitted steps: batch sharded on the data axis (it arrives
+        # pre-sharded via shard_batch); state replicated over the mesh,
+        # or row-parallel kernel-sharded over the model axis under
+        # --model_parallel (the steps then all-gather params at entry —
+        # ZeRO-3 style, see train/mesh.py).  Both in- AND out-shardings
+        # are pinned so the state's at-rest layout is identical every
+        # step (XLA otherwise reshards unpinned outputs freely, which
+        # breaks the pinned in_shardings on the next call).
+        self._state_sh = state_sharding(self.mesh, self.state)
+        gather = gather_spec(self.mesh, self.state.params)
+        self.state = jax.device_put(self.state, self._state_sh)
         self._sup_step = jax.jit(
             functools.partial(steps.supervised_step, self.model,
-                              self.optimizer, lambda_1=args.lambda_1),
-            donate_argnums=(0,), in_shardings=(rep, None))
+                              self.optimizer, lambda_1=args.lambda_1,
+                              params_gather=gather),
+            donate_argnums=(0,), in_shardings=(self._state_sh, None),
+            out_shardings=(self._state_sh, None))
         self._rl_step = jax.jit(
             functools.partial(steps.rl_step, self.model, self.optimizer,
-                              cfg=self.rl_cfg),
-            donate_argnums=(0,), in_shardings=(rep, None, None))
+                              cfg=self.rl_cfg, params_gather=gather),
+            donate_argnums=(0,), in_shardings=(self._state_sh, None, None),
+            out_shardings=(self._state_sh, None))
         self._build_eval_jits()
 
         # ---------------- bookkeeping ----------------
@@ -457,7 +472,7 @@ class Trainer(EvalCore):
                     params=restored["model"]["params"],
                     batch_stats=restored["model"]["batch_stats"],
                     opt_state=restored["optimizer"]),
-                replicated(self.mesh))
+                self._state_sh)
 
         self.key = jax.random.PRNGKey(args.seed)
         self._profiling = False

@@ -211,3 +211,146 @@ def test_shard_batch_process_local_assembly_matches_device_put():
             np.testing.assert_array_equal(np.asarray(via_local[k]),
                                           np.asarray(via_put[k]))
             assert via_local[k].sharding == via_put[k].sharding, k
+
+
+# ---------------------------------------------------------------------
+# Tensor-parallel (--model_parallel): kernels and Adam moments live
+# sharded along their contraction dim over the ``model`` axis; training
+# steps all-gather params at entry (ZeRO-3 style) and must match the
+# replicated program; eval forwards compute row-parallel directly on
+# the sharded kernels and must match too.  See train/mesh.py for why
+# the two paths differ (XLA partitioner miscompile probe).
+# ---------------------------------------------------------------------
+
+from scanpaths_tpu.train.mesh import gather_spec, state_sharding  # noqa: E402
+
+
+def _tp_mesh():
+    return make_mesh(4, model_parallel=2)  # data=2 x model=2
+
+
+def test_tp_state_sharding_row_parallel_specs():
+    import optax
+    model, _, state, _, _ = _setup()
+    mesh = _tp_mesh()
+    opt = optax.adam(1e-3)
+    st = steps.TrainState(params=state.params,
+                          batch_stats=state.batch_stats,
+                          opt_state=opt.init(state.params),
+                          step=jnp.int32(0))
+    sh = state_sharding(mesh, st)
+    # conv kernels shard their input-channel (contraction) dim
+    assert sh.params["lstm"]["gates_h"]["kernel"].spec == \
+        P(None, None, "model", None)
+    assert sh.params["sal_conv"]["kernel"].spec == P(None, None, "model",
+                                                     None)
+    # dense kernels shard dim 0 (their contraction dim)
+    assert sh.params["semantic_embed"]["kernel"].spec == P("model", None)
+    # biases / BN / scalars replicate; the stem conv (in=3) and the
+    # 1-channel head taps replicate
+    assert sh.params["lstm"]["gates_h"]["bias"].spec == P()
+    assert sh.params["backbone"]["conv1"]["kernel"].spec == P()
+    assert sh.params["head"]["drt_layer_1"]["kernel"].spec == P()
+    assert sh.step.spec == P()
+    # Adam moments mirror their parameter's spec (path-suffix matching)
+    mu = sh.opt_state[0].mu  # ScaleByAdamState
+    assert mu["lstm"]["gates_h"]["kernel"].spec == \
+        P(None, None, "model", None)
+    assert mu["lstm"]["gates_h"]["bias"].spec == P()
+    # non-TP mesh: everything replicated
+    rep_sh = state_sharding(make_mesh(1), st)
+    assert rep_sh.params["lstm"]["gates_h"]["kernel"].spec == P()
+    assert gather_spec(make_mesh(1), st.params) is None
+
+
+def test_tp_training_steps_match_replicated():
+    """One supervised + one RL step on the 2x2 mesh (params/moments
+    sharded at rest, gathered at step entry) vs the 1-device replicated
+    run.  SGD, not Adam: Adam's m/sqrt(v) normalization acts like
+    sign(g) on near-zero gradients and amplifies benign psum
+    reassociation noise into O(lr) parameter flips, which would mask
+    what this test pins (the gathered step computes the same math)."""
+    import optax
+    model, _, state, sup_batch, rng = _setup()
+    opt = optax.sgd(1e-2)
+    base = steps.TrainState(params=state.params,
+                            batch_stats=state.batch_stats,
+                            opt_state=opt.init(state.params),
+                            step=jnp.int32(0))
+    grid = GridSpec(map_width=MW, map_height=MH, width=W, height=H,
+                    max_length=T, min_length=1)
+    cfg = steps.RLConfig(task="osie", grid=grid, rl_sample_number=2,
+                         max_symbols_wd=32)
+    smax, glen = 3, 6
+    gt_fix = np.zeros((N, smax, glen, 3), np.float32)
+    gt_fix[..., 0] = rng.uniform(0, W, (N, smax, glen))
+    gt_fix[..., 1] = rng.uniform(0, H, (N, smax, glen))
+    gt_fix[..., 2] = rng.uniform(0.1, 0.5, (N, smax, glen))
+    rl_batch = {
+        "images": sup_batch["images"],
+        "gt_fix": gt_fix,
+        "gt_len": np.full((N, smax), glen, np.int32),
+        "gt_mask": np.ones((N, smax), np.float32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    def run(mesh, tp):
+        sh = state_sharding(mesh, base)
+        st = jax.device_put(base, sh)
+        gs = gather_spec(mesh, base.params)
+        sup = jax.jit(lambda s, b: steps.supervised_step(
+            model, opt, s, b, lambda_1=1.0, params_gather=gs),
+            in_shardings=(sh, None), out_shardings=(sh, None))
+        rl = jax.jit(lambda s, b, k: steps.rl_step(
+            model, opt, s, b, k, cfg, params_gather=gs),
+            in_shardings=(sh, None, None), out_shardings=(sh, None))
+        st, m_sup = sup(st, shard_batch(mesh, sup_batch))
+        st, m_rl = rl(st, shard_batch(mesh, rl_batch), key)
+        jax.block_until_ready(m_rl["rl_loss"])
+        return st, m_sup, m_rl
+
+    s1, ms1, mr1 = run(make_mesh(1), False)
+    mesh = _tp_mesh()
+    s2, ms2, mr2 = run(mesh, True)
+
+    assert float(ms1["loss"]) == pytest.approx(float(ms2["loss"]),
+                                               rel=1e-4)
+    assert float(mr1["reward_hmean"]) == pytest.approx(
+        float(mr2["reward_hmean"]), rel=1e-4, abs=1e-6)
+    assert float(mr1["rl_loss"]) == pytest.approx(float(mr2["rl_loss"]),
+                                                  rel=1e-3, abs=1e-5)
+    # atol dominates: the gather/reshard changes summation order, so
+    # near-zero updates (elements at the 1e-5 scale after two SGD
+    # steps) carry ~4e-5 reassociation noise; real-magnitude params
+    # still match to rtol
+    np.testing.assert_allclose(_leaves(s1.params), _leaves(s2.params),
+                               rtol=1e-3, atol=1e-4)
+    # the TP state REALLY lives sharded between steps: each device
+    # holds half of the gate kernel's input-channel dim
+    kern = s2.params["lstm"]["gates_h"]["kernel"]
+    assert kern.sharding.spec == P(None, None, "model", None)
+    full_in = kern.shape[2]
+    assert kern.addressable_shards[0].data.shape[2] == full_in // 2
+
+
+def test_tp_eval_forward_row_parallel_matches_replicated():
+    """The eval forward computes DIRECTLY on the sharded kernels
+    (row-parallel partial contractions + psum over ``model``) — no
+    gather — and must equal the replicated forward."""
+    model, _, state, sup_batch, _ = _setup()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def fwd(mesh, tp):
+        sh = state_sharding(mesh, variables)
+        v = jax.device_put(variables, sh)
+        img = jax.device_put(sup_batch["images"], batch_sharding(mesh))
+        out = jax.jit(lambda vv, ii: model.apply(vv, ii, train=False))(
+            v, img)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    o1 = fwd(make_mesh(1), False)
+    o2 = fwd(_tp_mesh(), True)
+    for k in o1:
+        np.testing.assert_allclose(np.asarray(o1[k], np.float64),
+                                   np.asarray(o2[k], np.float64),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
