@@ -66,8 +66,18 @@ def make_mesh(n_devices: int = 0, model_parallel: int = 1) -> Mesh:
             raise ValueError(
                 f"model_parallel={model_parallel} must divide the device "
                 f"count ({len(devices)})")
-        return Mesh(np.asarray(devices).reshape(-1, model_parallel),
-                    ("data", "model"))
+        shape = (len(devices) // model_parallel, model_parallel)
+        try:
+            # topology-aware ordering: the minor (model) axis lands on
+            # ICI-adjacent chips, so the per-step weight gather and the
+            # row-parallel psums ride nearest-neighbor links
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh(shape, devices=devices)
+        except Exception:
+            # non-contiguous topologies / virtual CPU devices: any
+            # assignment is correct, adjacency just isn't guaranteed
+            arr = np.asarray(devices).reshape(shape)
+        return Mesh(arr, ("data", "model"))
     return Mesh(np.asarray(devices), ("data",))
 
 

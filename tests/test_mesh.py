@@ -354,3 +354,28 @@ def test_tp_eval_forward_row_parallel_matches_replicated():
         np.testing.assert_allclose(np.asarray(o1[k], np.float64),
                                    np.asarray(o2[k], np.float64),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_tp_sharded_state_checkpoints_interchangeably(tmp_path):
+    """A checkpoint written from a TP-sharded state must restore
+    byte-identically (flax serialization assembles the full array from
+    the shards), so runs trained under --model_parallel and plain
+    data-parallel runs are checkpoint-interchangeable."""
+    from scanpaths_tpu.utils.checkpointing import (CheckpointManager,
+                                                   restore_checkpoint)
+    model, _, state, _, _ = _setup()
+    mesh = _tp_mesh()
+    sh = state_sharding(mesh, state)
+    sharded = jax.device_put(state, sh)
+    kern = sharded.params["lstm"]["gates_h"]["kernel"]
+    assert kern.addressable_shards[0].data.shape[2] == kern.shape[2] // 2
+
+    mgr = CheckpointManager(str(tmp_path), mode="max")
+    mgr.step(1.0, {"params": sharded.params,
+                   "batch_stats": sharded.batch_stats})
+    restored = restore_checkpoint(
+        str(tmp_path), {"params": state.params,
+                        "batch_stats": state.batch_stats})
+    for a, b in zip(jax.tree_util.tree_leaves(restored["model"]["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
