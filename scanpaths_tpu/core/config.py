@@ -118,7 +118,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=None)
     p.add_argument("--log_root", type=str, default="./assets")
     p.add_argument("--resume_dir", type=str, default="")
-    p.add_argument("--center_bias", type=bool, default=True)
+    p.add_argument("--center_bias", type=str2bool, default=True)
     p.add_argument("--lambda_1", type=float, default=1.0)
     p.add_argument("--lambda_5", type=float, default=-2.0)
     p.add_argument("--apply_consistency_divergence", action="store_true",

@@ -201,9 +201,17 @@ def test_bundle_loads_on_real_tpu(tmp_path):
         " 'fix_len': np.asarray(out['fix_len']).tolist()}))\n")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env.pop("JAX_PLATFORMS", None)
+    # De-flake (round-3 verdict): under full-suite load on this 1-core
+    # box the child's cold TPU compile ate the whole 600 s budget
+    # (passes alone in ~350 s).  Give the child a PERSISTENT compile
+    # cache — the bundle's program is identical across runs, so every
+    # run after the first skips the compile — and a timeout with real
+    # margin over the measured cold path.
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/sp_tpu_export_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     r = subprocess.run([sys.executable, "-c", script, str(tmp_path)],
                        capture_output=True, text=True, env=env,
-                       cwd="/", timeout=600)
+                       cwd="/", timeout=1500)
     assert r.returncode == 0, r.stderr[-2000:]
     got = json.loads(r.stdout.strip().splitlines()[-1])
     # fix carries float durations whose bf16-free compute path is still

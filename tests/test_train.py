@@ -71,6 +71,10 @@ def test_config_layering(tmp_path):
     assert args.seed == 10          # osie task default
     args2 = parse_opt(["--task", "air"])
     assert args2.seed == 0 and args2.weight_decay == 5e-5
+    # bool flags must parse "False" as False (the reference's type=bool
+    # foot-gun made `--center_bias False` truthy; core/config.py:121)
+    args3 = parse_opt(["--task", "osie", "--center_bias", "False"])
+    assert args3.center_bias is False
 
 
 def _tiny_setup(task):
