@@ -37,6 +37,22 @@ def str2bool(v) -> bool:
     raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
 
 
+def remat_mode(v):
+    """--remat values: booleans (back-compat) or a mode name
+    (models/scanpath_model.py ScanpathModel.remat)."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).lower()
+    if s in ("none", "all", "backbone", "scan", "scan_policy", "policy"):
+        return s
+    try:
+        return str2bool(s)
+    except argparse.ArgumentTypeError:
+        raise argparse.ArgumentTypeError(
+            f"remat mode expected (bool or none/all/backbone/scan/"
+            f"scan_policy/policy), got {v!r}")
+
+
 def load_yaml_with_base(path: str) -> dict:
     """Load a yaml file, recursively merging a ``_BASE_`` parent
     (reference utils/config.py:33-77)."""
@@ -116,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--rl_lr_initial_decay", type=float, default=0.5)
     p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--bf16_moments", type=str2bool, default=False,
+                   help="store the first Adam moment in bfloat16 "
+                        "(optax mu_dtype) — an HBM probe knob, not a "
+                        "parity setting (train/schedule.py)")
     p.add_argument("--log_root", type=str, default="./assets")
     p.add_argument("--resume_dir", type=str, default="")
     p.add_argument("--center_bias", type=str2bool, default=True)
@@ -157,11 +177,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "exact space-to-depth reformulation (same "
                         "parameters/checkpoints, fewer idle MXU lanes "
                         "on the 3-channel input)")
-    p.add_argument("--remat", type=str2bool, default=False,
-                   help="rematerialize decode-step activations in "
-                        "backprop (jax.checkpoint): ~1 extra forward "
-                        "per step for O(1)-in-T activation memory, "
-                        "enabling much larger training batches")
+    p.add_argument("--remat", type=remat_mode, default=False,
+                   help="rematerialization mode for backprop: a bool "
+                        "(false=none, true=all) or one of none/all/"
+                        "backbone/scan/scan_policy/policy — 'policy' "
+                        "checkpoints the ResNet bottlenecks and the "
+                        "decode-scan body while SAVING the ConvLSTM "
+                        "gate pre-activations (~99%% of per-step "
+                        "FLOPs), the measured large-batch sweet spot "
+                        "(models/scanpath_model.py, docs/PERF.md)")
     p.add_argument("--device_eval", type=str2bool, default=False,
                    help="compute the validation/test metric suite with "
                         "the device kernels (metrics/device_eval.py) "

@@ -240,10 +240,18 @@ class FusedConvLSTMCell(nn.Module):
             sg = self._sgate(idx)(s, cv)
             si, sf, so = jnp.split(sg, 3, axis=-1)
             i_pre, f_pre, o_pre = i_pre + si, f_pre + sf, o_pre + so
-        i = nn.sigmoid(i_pre)
-        f = nn.sigmoid(f_pre)
-        o = nn.sigmoid(o_pre)
-        g = jnp.tanh(g_pre)
+        # checkpoint_name tags make the gate pre-activations saveable
+        # under remat mode "scan_policy"/"policy" (scanpath_model.py):
+        # the gate conv above is ~99% of per-step FLOPs, so a policy
+        # that saves these four [N, H, W, C] tensors (and recomputes
+        # the cheap attention/head/elementwise tail) gets full-remat
+        # memory behaviour on everything else at ~zero recompute cost.
+        # Inert (identity) under every other mode.
+        from jax.ad_checkpoint import checkpoint_name
+        i = nn.sigmoid(checkpoint_name(i_pre, "lstm_gates"))
+        f = nn.sigmoid(checkpoint_name(f_pre, "lstm_gates"))
+        o = nn.sigmoid(checkpoint_name(o_pre, "lstm_gates"))
+        g = jnp.tanh(checkpoint_name(g_pre, "lstm_gates"))
         c_next = f * c + i * g
         h_next = o * c_next  # reference quirk: no tanh
         return h_next, c_next

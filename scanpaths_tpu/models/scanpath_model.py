@@ -63,12 +63,30 @@ class ScanpathModel(nn.Module):
     # give structurally identical tiny models for CPU-hosted tests and
     # the multi-chip dryrun.
     backbone_layers: tuple = (3, 4, 6, 3)
-    # rematerialize each decode step's activations during backprop
-    # (jax.checkpoint on the scan body): training holds one step's
-    # activations instead of all T, trading ~1 extra forward for the
-    # ability to run much larger train batches (batch 64 at full
-    # geometry needs 21.5G HBM without remat — over the 16G chip)
-    remat: bool = False
+    # rematerialization mode for backprop (bool or str):
+    #   False | "none"  — save every intermediate (fastest, most HBM)
+    #   True  | "all"   — jax.checkpoint on every ResNet bottleneck AND
+    #                     the decode-scan body: backprop holds only
+    #                     block/step boundaries, recomputing internals
+    #                     (~1 extra full forward; the round-3 escape
+    #                     hatch that ran batch 64 at 45% MFU)
+    #   "backbone"      — checkpoint the bottlenecks only (the trunk is
+    #                     14% of forward FLOPs but ~half of activation
+    #                     memory at full geometry — cheap recompute)
+    #   "scan"          — checkpoint the decode-scan body only
+    #   "scan_policy"   — scan-body checkpoint with a save_only_these_
+    #                     names policy keeping the ConvLSTM gate
+    #                     pre-activations (components.py tags them
+    #                     "lstm_gates"): the 3x3 512->2048 gate conv is
+    #                     ~99% of per-step FLOPs, so saving its output
+    #                     makes the step's recompute nearly free while
+    #                     still dropping the attention/head/elementwise
+    #                     residuals — the measured sweet spot
+    #                     (docs/PERF.md round-4 training campaign)
+    #   "policy"        — "backbone" + "scan_policy" combined (the
+    #                     large-batch default: batch 64+ fits with a
+    #                     recompute bill of only the 14% trunk)
+    remat: Any = False
     # ConvLSTM step implementation for the decode scan:
     #   "xla"     — the fused-conv flax cell (default; differentiable,
     #               used by every training path)
@@ -96,10 +114,21 @@ class ScanpathModel(nn.Module):
     def hw(self) -> int:
         return self.map_h * self.map_w
 
+    @property
+    def remat_mode(self) -> str:
+        if self.remat is True:
+            return "all"
+        if self.remat in (False, None, "none"):
+            return "none"
+        assert self.remat in ("all", "backbone", "scan", "scan_policy",
+                              "policy"), self.remat
+        return self.remat
+
     def setup(self):
-        self.backbone = DilatedResNet50(layers=self.backbone_layers,
-                                        dtype=self.dtype, remat=self.remat,
-                                        stem_impl=self.stem_impl)
+        self.backbone = DilatedResNet50(
+            layers=self.backbone_layers, dtype=self.dtype,
+            remat=self.remat_mode in ("all", "backbone", "policy"),
+            stem_impl=self.stem_impl)
         self.sal_conv = nn.Conv(self.embed, (3, 3), padding=[(1, 1), (1, 1)],
                                 kernel_init=xavier_conv_init,
                                 dtype=self.dtype)
@@ -203,7 +232,16 @@ class ScanpathModel(nn.Module):
         z = jnp.concatenate([stop_logit, amap.reshape(n, -1)], axis=-1)
         return z, mu, sigma2, amap.astype(self.dtype)
 
-    def _step(self, carry, _, fused=None, cell_kt=None):
+    def _step(self, carry, _, fused=None, ctx=None):
+        """One decode step.  ``carry`` holds only the step-VARYING
+        state (h, c, history streams, step index); the loop-invariant
+        tensors (visual features, hoisted gate pre-activations, task
+        ids, Pallas kernels) live in ``ctx``, closed over by the scan
+        body so they become scan CONSTANTS — lax.scan's backward saves
+        constants once, whereas anything in the carry is saved (or,
+        under remat, re-saved as a body residual) per step: keeping the
+        ~6 MB/image of invariants out of the carry saves ~100 MB/image
+        of training residuals at T=16."""
         n = carry["h"].shape[0]
         step = carry["step"]
         valid = jnp.arange(self.seq_len + 1) <= step
@@ -218,31 +256,31 @@ class ScanpathModel(nn.Module):
             signals.append((smem.reshape(n, self.map_h, self.map_w), cmem))
 
         if self.cell_impl == "xla":
-            h, c = self.lstm(carry["xg"], carry["h"], carry["c"], signals)
+            h, c = self.lstm(ctx["xg"], carry["h"], carry["c"], signals)
             h_dense = h
         else:
             # fused Pallas step on flat-layout state (ops/pallas_cell);
-            # carry["h"]/["c"]/["xg"] are in halo/body layouts here
+            # carry["h"]/["c"] and ctx["xg"] are in halo/body layouts
             st, kp = self.lstm.pallas_signals(signals, self.map_h,
                                               self.map_w)
             h, c = pallas_cell.cell_step(
-                carry["h"], carry["c"], carry["xg"], st, kp, cell_kt,
-                self.map_h, self.map_w,
+                carry["h"], carry["c"], ctx["xg"], st, kp,
+                ctx["cell_kt"], self.map_h, self.map_w,
                 interpret=self.cell_impl == "interpret")
             h_dense = pallas_cell.halo_to_grid(h, self.map_h, self.map_w)
 
         if fused is not None:
             heads = [self._fused_head_out(h_dense, fu) for fu in fused]
         else:
-            feats = self.conditioner(h_dense, carry.get("task_ids"))
+            feats = self.conditioner(h_dense, ctx.get("task_ids"))
             heads = [self.head(feat) for feat in feats]
 
         outs = []
         new_streams = []
         for (z, mu, sigma2, amap), stream in zip(heads, carry["streams"]):
             outs.append({"z": z, "mu": mu, "sigma2": sigma2, "amap": amap})
-            entry = self._new_stream_entry(amap, carry["visual"],
-                                           carry["vismean"])
+            entry = self._new_stream_entry(amap, ctx["visual"],
+                                           ctx["vismean"])
             new_streams.append(self._write(stream, entry, step + 1))
 
         carry = dict(carry, h=h, c=c, streams=new_streams, step=step + 1)
@@ -301,14 +339,14 @@ class ScanpathModel(nn.Module):
         carry = {
             "h": h0,
             "c": c0,
-            "xg": xg,
-            "visual": visual,
-            "vismean": vismean,
             "streams": streams,
             "step": jnp.int32(0),
         }
+        # loop-invariants ride as scan constants, NOT carry (see _step)
+        ctx = {"xg": xg, "visual": visual, "vismean": vismean,
+               "cell_kt": cell_kt}
         if self.task == "coco":
-            carry["task_ids"] = task_ids
+            ctx["task_ids"] = task_ids
 
         fused = None
         if self.fuse_head:
@@ -327,9 +365,19 @@ class ScanpathModel(nn.Module):
                          for (k, b) in ks]
 
         body = lambda mdl, c, xs: mdl._step(c, xs, fused,  # noqa: E731
-                                            cell_kt)
-        if self.remat:
+                                            ctx)
+        mode = self.remat_mode
+        if mode in ("all", "scan"):
             body = nn.remat(body, prevent_cse=False)
+        elif mode in ("policy", "scan_policy"):
+            # keep the gate pre-activations (the gate conv is ~99% of
+            # per-step FLOPs), recompute the cheap attention/head/
+            # elementwise tail — near-no-remat speed at close to
+            # full-remat scan memory (docs/PERF.md)
+            body = nn.remat(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "lstm_gates"))
         # SP_SCAN_UNROLL=k emits k decode steps per scan iteration so
         # XLA can overlap their non-MXU tails (same math — scan
         # unrolling only changes scheduling).  Measured neutral-to-
@@ -402,7 +450,7 @@ class JointScanpathModel(nn.Module):
     num_categories: int = 18
     dtype: Any = jnp.float32
     backbone_layers: tuple = (3, 4, 6, 3)
-    remat: bool = False
+    remat: Any = False  # same modes as ScanpathModel.remat
     fuse_head: bool = True
     stem_impl: str = "conv"
 
@@ -411,8 +459,10 @@ class JointScanpathModel(nn.Module):
                   embed=self.embed, num_categories=self.num_categories,
                   dtype=self.dtype, backbone_layers=self.backbone_layers,
                   remat=self.remat, fuse_head=self.fuse_head)
+        remat_bb = (self.remat is True
+                    or self.remat in ("all", "backbone", "policy"))
         self.backbone = DilatedResNet50(layers=self.backbone_layers,
-                                        dtype=self.dtype, remat=self.remat,
+                                        dtype=self.dtype, remat=remat_bb,
                                         stem_impl=self.stem_impl)
         self.osie = ScanpathModel(task="osie", **kw)
         self.air = ScanpathModel(task="air", **kw)

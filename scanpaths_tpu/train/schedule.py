@@ -48,6 +48,13 @@ def make_optimizer(args, steps_sup: int, steps_rl: int):
         chain.append(optax.clip_by_global_norm(args.clip))
     if args.weight_decay:
         chain.append(optax.add_decayed_weights(args.weight_decay))
-    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    # --bf16_moments stores the first Adam moment in bfloat16 (optax
+    # casts it back to f32 for the update math).  A memory probe, not a
+    # parity knob: halves one of the two moment trees (~72 MB on the
+    # full model) at a small accuracy cost to the moment accumulation —
+    # off by default, measured in tools/bench_train.py.
+    mu_dtype = "bfloat16" if getattr(args, "bf16_moments", False) else None
+    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8,
+                                     mu_dtype=mu_dtype))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain)

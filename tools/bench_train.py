@@ -41,7 +41,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sp_bench_cache")
 
 ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "8"))
 WARMUP = 2
-SUP_SWEEP = ((16, 0), (32, 0), (64, 0), (64, 1), (96, 1), (128, 1))
+# (batch, remat mode) — modes per models/scanpath_model.py: "none",
+# "backbone", "scan", "scan_policy", "policy", "all"
+SUP_SWEEP = ((16, "none"), (32, "none"), (48, "none"), (64, "none"),
+             (64, "scan_policy"), (64, "policy"), (96, "policy"),
+             (128, "policy"), (64, "all"))
 RL_SWEEP = (4, 8, 16, 32)
 
 
@@ -51,7 +55,14 @@ def _is_oom(e: Exception) -> bool:
         or "out of memory" in s
 
 
-def _setup(batch: int, remat: bool):
+def _remat_arg(s: str):
+    """CLI remat arg: historical 0/1 or a mode name."""
+    if s in ("0", "1"):
+        return bool(int(s))
+    return s
+
+
+def _setup(batch: int, remat):
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +77,9 @@ def _setup(batch: int, remat: bool):
     model = create_model("osie", dtype=jnp.bfloat16, remat=remat)
     args = types.SimpleNamespace(lr=1e-4, clip=12.5, weight_decay=5e-4,
                                  warmup_epoch=1, start_rl_epoch=5, epoch=10,
-                                 rl_lr_initial_decay=0.5)
+                                 rl_lr_initial_decay=0.5,
+                                 bf16_moments=bool(int(os.environ.get(
+                                     "BENCH_BF16_MOMENTS", "0"))))
     optimizer = make_optimizer(args, steps_sup=100, steps_rl=100)
 
     # device-generated inputs (see module docstring)
@@ -93,25 +106,15 @@ def _setup(batch: int, remat: bool):
     return jax, jnp, steps, model, optimizer, state, images
 
 
-def bench_sup(batch: int, remat: bool):
+def bench_sup(batch: int, remat):
     import numpy as np
     jax, jnp, steps, model, optimizer, state, images = _setup(batch, remat)
 
-    a = 30 * 40 + 1
-
-    @jax.jit
-    def make_batch(key):
-        ks = jax.random.split(key, 3)
-        idx = jax.random.randint(ks[0], (batch, 16), 0, a)
-        scan = jax.nn.one_hot(idx, a, dtype=jnp.float32)
-        dur = jax.random.uniform(ks[1], (batch, 16), jnp.float32, 0.1, 0.6)
-        return {"images": images, "scanpaths": scan, "durations": dur,
-                "action_masks": jnp.ones((batch, 16), jnp.float32),
-                "duration_masks": jnp.ones((batch, 16), jnp.float32)}
-
-    b = make_batch(jax.random.PRNGKey(7))
+    b = _sup_batch(jax, jnp, images, batch)
+    # donate the state like the Trainer does (trainer.py jit region):
+    # the old params/moments alias the new ones instead of doubling
     step = jax.jit(lambda s, bb: steps.supervised_step(
-        model, optimizer, s, bb, lambda_1=1.0))
+        model, optimizer, s, bb, lambda_1=1.0), donate_argnums=(0,))
 
     for _ in range(WARMUP):
         state, m = step(state, b)
@@ -130,10 +133,64 @@ def bench_sup(batch: int, remat: bool):
     imgs = batch / dt
     print(json.dumps({
         "metric": "train_supervised_images_per_sec", "value": round(imgs, 2),
-        "batch": batch, "remat": bool(remat), "dtype": "bfloat16",
+        "batch": batch, "remat": model.remat_mode, "dtype": "bfloat16",
         "step_ms": round(dt * 1e3, 2),
         "approx_mfu": round(imgs * 3 * fwd / bench.peak_flops("bfloat16"), 4),
         "checksum": round(checksum, 4)}))
+
+
+def _sup_batch(jax, jnp, images, batch):
+    a = 30 * 40 + 1
+
+    @jax.jit
+    def make_batch(key):
+        ks = jax.random.split(key, 3)
+        idx = jax.random.randint(ks[0], (batch, 16), 0, a)
+        scan = jax.nn.one_hot(idx, a, dtype=jnp.float32)
+        dur = jax.random.uniform(ks[1], (batch, 16), jnp.float32, 0.1, 0.6)
+        return {"images": images, "scanpaths": scan, "durations": dur,
+                "action_masks": jnp.ones((batch, 16), jnp.float32),
+                "duration_masks": jnp.ones((batch, 16), jnp.float32)}
+
+    return make_batch(jax.random.PRNGKey(7))
+
+
+def mem_probe(batch: int, remat):
+    """Compile-only HBM probe of the supervised step: XLA's own
+    memory_analysis for (batch, remat-mode), no execution — maps the
+    activation-memory landscape exactly (docs/PERF.md round-4 training
+    campaign) without burning a timed run per point."""
+    jax, jnp, steps, model, optimizer, state, images = _setup(batch, remat)
+    b = _sup_batch(jax, jnp, images, batch)
+    try:
+        compiled = jax.jit(
+            lambda s, bb: steps.supervised_step(model, optimizer, s, bb,
+                                                lambda_1=1.0),
+            donate_argnums=(0,)).lower(state, b).compile()
+    except Exception as e:  # noqa: BLE001 — compile-time OOM is data
+        if not _is_oom(e):
+            raise
+        import re
+        m = re.search(r"Used ([0-9.]+)G of ([0-9.]+)G", str(e))
+        print(json.dumps({
+            "metric": "train_supervised_hbm", "batch": batch,
+            "remat": model.remat_mode, "oom": True,
+            "needed_gib": float(m.group(1)) if m else None,
+            "capacity_gib": float(m.group(2)) if m else None}))
+        return
+    ma = compiled.memory_analysis()
+    gib = 1 << 30
+    print(json.dumps({
+        "metric": "train_supervised_hbm", "batch": batch,
+        "remat": model.remat_mode,
+        "temp_gib": round(ma.temp_size_in_bytes / gib, 3),
+        "arg_gib": round(ma.argument_size_in_bytes / gib, 3),
+        "out_gib": round(ma.output_size_in_bytes / gib, 3),
+        "alias_gib": round(ma.alias_size_in_bytes / gib, 3),
+        "total_gib": round((ma.temp_size_in_bytes
+                            + ma.argument_size_in_bytes
+                            + ma.output_size_in_bytes
+                            - ma.alias_size_in_bytes) / gib, 3)}))
 
 
 def bench_rl(batch: int):
@@ -156,7 +213,7 @@ def bench_rl(batch: int):
          "gt_mask": jnp.ones((batch, smax), jnp.float32)}
 
     step = jax.jit(lambda s, bb, k: steps.rl_step(
-        model, optimizer, s, bb, k, cfg))
+        model, optimizer, s, bb, k, cfg), donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
 
     for i in range(WARMUP):
@@ -246,6 +303,7 @@ def _run_one(args: list[str]) -> dict | None:
 def sweep():
     sup = [r for (bsz, rm) in SUP_SWEEP
            if (r := _run_one(["sup", str(bsz), str(rm)]))]
+    sup = [r for r in sup if not r.get("oom")] or sup
     rl = [r for bsz in RL_SWEEP if (r := _run_one(["rl", str(bsz)]))]
     best_sup = max(sup, key=lambda r: r["value"], default=None)
     best_rl = max(rl, key=lambda r: r["value"], default=None)
@@ -272,12 +330,12 @@ if __name__ == "__main__":
         sweep()
     elif sys.argv[1] == "sup":
         try:
-            bench_sup(int(sys.argv[2]), bool(int(sys.argv[3])))
+            bench_sup(int(sys.argv[2]), _remat_arg(sys.argv[3]))
         except Exception as e:          # noqa: BLE001 — report OOM as data
             if _is_oom(e):
                 print(json.dumps({"metric": "train_supervised_images_per_sec",
                                   "batch": int(sys.argv[2]),
-                                  "remat": bool(int(sys.argv[3])),
+                                  "remat": sys.argv[3],
                                   "value": 0.0, "oom": True}))
             else:
                 raise
@@ -295,5 +353,7 @@ if __name__ == "__main__":
                 raise
     elif sys.argv[1] == "pipeline":
         bench_pipeline(int(sys.argv[2]))
+    elif sys.argv[1] == "mem":
+        mem_probe(int(sys.argv[2]), _remat_arg(sys.argv[3]))
     else:
         raise SystemExit(f"unknown section {sys.argv[1]!r}")
