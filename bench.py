@@ -140,6 +140,95 @@ def peak_flops(dtype: str) -> float:
     return 197e12 if dtype == "bfloat16" else 49e12  # assume a v5e-class chip
 
 
+def eval_sweep_section(model, variables, grid):
+    """Decode + FULL device metric sweep per image: forward, SAMPLES
+    stochastic decodes, and all 9 reference ``pairs_eval`` columns
+    (ScanMatch w/o+w/ duration, 5 MultiMatch similarities, SED, STDE —
+    reference OSIE/utils/evaluation.py:284-340) against 15 GT subjects,
+    in ONE jitted program with no host round-trip.  This is the
+    eval/validation hot loop the reference runs as CPU Python
+    (OSIE/train.py:234, utils/evaluation.py:284-340), measured at full
+    geometry with the same honesty protocol as the headline (per-batch
+    host-materialized checksums inside the timed window)."""
+    from scanpaths_tpu.metrics import jax_metrics as jm
+    from scanpaths_tpu.ops.sampling import random_sample
+    from scanpaths_tpu.train.steps import RLConfig, _pair_grids
+
+    batch = int(os.environ.get("BENCH_EVAL_BATCH", "128"))
+    subjects, glen = 15, 16
+    cfg = RLConfig(task="osie", grid=grid, rl_sample_number=SAMPLES,
+                   max_symbols_wd=320, max_symbols_wod=24)
+
+    images = jax.jit(lambda k: jax.random.normal(
+        k, (batch, 240, 320, 3), jnp.float32))(jax.random.PRNGKey(43))
+
+    @jax.jit
+    def make_gt(key):
+        ks = jax.random.split(key, 4)
+        x = jax.random.uniform(ks[0], (batch, subjects, glen), jnp.float32,
+                               0.0, grid.width)
+        y = jax.random.uniform(ks[1], (batch, subjects, glen), jnp.float32,
+                               0.0, grid.height)
+        t = jax.random.uniform(ks[2], (batch, subjects, glen), jnp.float32,
+                               0.1, 0.5)
+        fix = jnp.stack([x, y, t], axis=-1)
+        lens = jax.random.randint(ks[3], (batch, subjects), 3, glen + 1)
+        return fix, lens.astype(jnp.int32), jnp.ones(
+            (batch, subjects), jnp.float32)
+
+    gt_fix, gt_len, gt_mask = make_gt(jax.random.PRNGKey(44))
+
+    @jax.jit
+    def eval_step(variables, images, key):
+        out = model.apply(variables, images, train=False)
+        keys = jax.random.split(key, SAMPLES)
+        samples = jax.vmap(lambda k: random_sample(
+            k, out["all_actions_prob"], out["log_normal_mu"],
+            out["log_normal_sigma2"], grid))(keys)
+        grids = _pair_grids(cfg, gt_fix, gt_len, gt_mask,
+                            samples.fix, samples.fix_len, full=True)
+        overflow = jm.expansion_overflow(
+            cfg.spec_wd, samples.fix.reshape(-1, *samples.fix.shape[2:]),
+            samples.fix_len.reshape(-1)).astype(jnp.float32).mean()
+        # checksum touches every column of every (rollout, image,
+        # subject) pair so none of the 9 metric kernels can be DCE'd
+        nansum = lambda x: jnp.where(  # noqa: E731
+            jnp.isnan(x), 0.0, x).sum()
+        chk = (nansum(grids["wod"]) + nansum(grids["wd"])
+               + nansum(grids["mm"]) + nansum(grids["sed"])
+               + nansum(grids["stde"]))
+        return chk, overflow
+
+    key = jax.random.PRNGKey(2)
+    for _ in range(WARMUP):
+        key, sub = jax.random.split(key)
+        chk, ovf = eval_step(variables, images, sub)
+    float(np.asarray(chk))
+
+    iters = max(ITERS // 2, 3)
+    chks = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        chk, ovf = eval_step(variables, images, sub)
+        chks.append(chk)
+    checksum = sum(float(np.asarray(c, np.float64)) for c in chks)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    pairs_per_sec = images_per_sec * SAMPLES * subjects
+    return {
+        "images_per_sec": round(images_per_sec, 2),
+        "scanpaths_per_sec_per_chip": round(
+            images_per_sec * SAMPLES / max(jax.device_count(), 1), 2),
+        "metric_pairs_per_sec": round(pairs_per_sec, 2),
+        "batch": batch, "rollouts": SAMPLES, "subjects": subjects,
+        "columns": 9,
+        "overflow_frac": round(float(np.asarray(ovf)), 4),
+        "checksum": round(checksum, 2),
+    }
+
+
 def main():
     from scanpaths_tpu.core.grid import GridSpec
     from scanpaths_tpu.models.scanpath_model import create_model
@@ -256,7 +345,7 @@ def main():
             f"measured {mfu:.1%} MFU (> 100% of peak) — timing is broken, "
             f"refusing to report")
 
-    print(json.dumps({
+    record = {
         "metric": "scanpaths_per_sec_per_chip",
         "value": round(per_sec_per_chip, 2),
         "unit": "scanpaths/s/chip",
@@ -271,7 +360,14 @@ def main():
         "stem_impl": stem_impl,
         "n_chips": n_chips,
         "checksum": round(checksum, 2),
-    }))
+    }
+    # end-to-end EVAL benchmark (decode + full 9-column device metric
+    # sweep vs 15 subjects, one jitted program): the no-host-round-trip
+    # claim measured at full geometry.  Nested in the same single JSON
+    # line the driver records.  BENCH_EVAL=0 skips it.
+    if os.environ.get("BENCH_EVAL", "1") != "0":
+        record["eval_sweep"] = eval_sweep_section(model, variables, grid)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -69,6 +69,71 @@ def grouped_xavier_conv_init(groups: int):
 dense_init = nn.initializers.normal(stddev=0.01)
 
 
+# ---------------------------------------------------------------------------
+# Manual tensor-parallel boundaries (Megatron-style f/g collectives)
+# ---------------------------------------------------------------------------
+# Used by the shard_map row-parallel training step (train/tp_step.py),
+# which bypasses the XLA partitioners entirely (they miscompile the
+# decode scan's backward with contraction-sharded kernels —
+# tools/tp_repro.py).  ``tp_enter`` marks a replicated tensor's entry
+# into a TP block: identity forward, psum backward (the per-device
+# partial cotangents of the channel-sliced uses sum to the true full
+# cotangent).  ``tp_exit`` closes the block: psum forward (the
+# row-parallel partial contractions sum to the full output), identity
+# backward.  Everything outside the block stays replicated compute with
+# replicated cotangents, so replicated parameters receive full,
+# identical gradients on every model-axis device (no post-hoc psum
+# bookkeeping per leaf).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_enter(x, axis: str):
+    return x
+
+
+def _tp_enter_fwd(x, axis):
+    return x, None
+
+
+def _tp_enter_bwd(axis, _, ct):
+    return (jax.lax.psum(ct, axis),)
+
+
+tp_enter.defvjp(_tp_enter_fwd, _tp_enter_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_exit(x, axis: str):
+    return jax.lax.psum(x, axis)
+
+
+def _tp_exit_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _tp_exit_bwd(axis, _, ct):
+    return (ct,)
+
+
+tp_exit.defvjp(_tp_exit_fwd, _tp_exit_bwd)
+
+
+def tp_row_conv(x, kernel, bias, axis: str, dtype=None,
+                padding=((1, 1), (1, 1))):
+    """Row-parallel convolution inside a ``shard_map``: ``kernel`` is
+    this device's contraction-dim slice [kh, kw, Cin/T, Cout]; the
+    replicated input's matching channel block is sliced locally, the
+    partial contraction is reduced over ``axis`` (one psum), and the
+    replicated bias is added once after the reduction."""
+    shard = kernel.shape[2]
+    idx = jax.lax.axis_index(axis) * shard
+    xs = jax.lax.dynamic_slice_in_dim(tp_enter(x, axis), idx, shard,
+                                      axis=-1)
+    out = tp_exit(conv2d(xs, kernel, None, padding=padding, dtype=dtype),
+                  axis)
+    return out + (bias.astype(out.dtype) if dtype is None
+                  else bias.astype(dtype))
+
+
 class ConvParams(nn.Module):
     """Parameter holder with the exact tree of an ``nn.Conv``
     ({kernel [kh, kw, cin, cout], bias [cout]}) but no application
@@ -191,13 +256,22 @@ class FusedConvLSTMCell(nn.Module):
     embed: int = 512
     num_signals: int = 1  # 1 = OSIE/COCO, 2 = AiR pos+neg
     dtype: Any = jnp.float32
+    # set (to the mesh axis name) ONLY when running inside the manual
+    # row-parallel shard_map step (train/tp_step.py): the h-gate conv
+    # then expects its kernel to arrive as this device's contraction-
+    # dim slice (1/tp_shards of the channels — flax validates param
+    # shapes, so the slice shape is declared) and computes via
+    # tp_row_conv
+    tp_axis: Any = None
+    tp_shards: int = 1
 
     def setup(self):
         e = self.embed
+        cin = e // (self.tp_shards if self.tp_axis is not None else 1)
         # ConvParams holder: same {kernel, bias} tree as the nn.Conv it
         # replaces (checkpoints unaffected); raw access lets the fused
         # Pallas step (ops/pallas_cell.py) consume the kernel directly
-        self.gates_h = ConvParams((3, 3, e, 4 * e),
+        self.gates_h = ConvParams((3, 3, cin, 4 * e),
                                   kernel_init=grouped_xavier_conv_init(4))
         self.gates_s0 = SignalGates(3 * e, e, dtype=self.dtype)
         if self.num_signals == 2:
@@ -232,7 +306,11 @@ class FusedConvLSTMCell(nn.Module):
 
     def __call__(self, xg, h, c, signals: Sequence[tuple]):
         k, b = self.gates_h()
-        hg = conv2d(h, k, b, padding=((1, 1), (1, 1)), dtype=self.dtype)
+        if self.tp_axis is not None:
+            hg = tp_row_conv(h, k, b, self.tp_axis, dtype=self.dtype)
+        else:
+            hg = conv2d(h, k, b, padding=((1, 1), (1, 1)),
+                        dtype=self.dtype)
         acc = xg + hg
         # split pre-activations: [i, f, o, g]
         i_pre, f_pre, o_pre, g_pre = jnp.split(acc, 4, axis=-1)
@@ -258,16 +336,31 @@ class FusedConvLSTMCell(nn.Module):
 
 
 class XGates(nn.Module):
-    """The hoisted x-dependent ConvLSTM gate pre-activations."""
+    """The hoisted x-dependent ConvLSTM gate pre-activations.
+
+    The parameters live in a :class:`ConvParams` holder with the exact
+    ``nn.Conv`` tree ({kernel, bias} under "gates_x" — checkpoints
+    unchanged) so the same module can run the conv replicated (the
+    default) or row-parallel under the shard_map TP step
+    (``tp_axis``, train/tp_step.py)."""
 
     embed: int = 512
     dtype: Any = jnp.float32
+    tp_axis: Any = None
+    tp_shards: int = 1
 
     @nn.compact
     def __call__(self, visual):
-        return nn.Conv(4 * self.embed, (3, 3), padding=[(1, 1), (1, 1)],
-                       kernel_init=grouped_xavier_conv_init(4),
-                       dtype=self.dtype, name="gates_x")(visual)
+        cin = self.embed // (self.tp_shards if self.tp_axis is not None
+                             else 1)
+        k, b = ConvParams((3, 3, cin, 4 * self.embed),
+                          kernel_init=grouped_xavier_conv_init(4),
+                          name="gates_x")()
+        if self.tp_axis is not None:
+            return tp_row_conv(visual, k, b, self.tp_axis,
+                               dtype=self.dtype)
+        return conv2d(visual, k, b, padding=((1, 1), (1, 1)),
+                      dtype=self.dtype)
 
 
 class SemanticAttention(nn.Module):

@@ -74,6 +74,10 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     expansion: int = 4
     dtype: Any = jnp.float32
+    # flax BatchNorm axis_name: set to the data axis inside shard_map
+    # steps so training stats are computed over the GLOBAL batch (the
+    # pjit path gets this from GSPMD automatically)
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,7 +87,7 @@ class Bottleneck(nn.Module):
             kernel_init=he_conv_init, name=name)
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name)
+            dtype=self.dtype, name=name, axis_name=self.bn_axis)
 
         residual = x
         # stride on conv1 (Caffe-style, reference resnet.py:63)
@@ -176,6 +180,7 @@ class DilatedResNet50(nn.Module):
     # tree, same numbers up to conv-sum reassociation, fewer idle MXU
     # lanes on the 3-channel input
     stem_impl: str = "conv"
+    bn_axis: Any = None  # see Bottleneck.bn_axis
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -188,7 +193,8 @@ class DilatedResNet50(nn.Module):
                         dtype=self.dtype, kernel_init=he_conv_init,
                         name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1",
+                         axis_name=self.bn_axis)(x)
         x = nn.relu(x)
         x = _ceil_maxpool(x)
 
@@ -212,6 +218,7 @@ class DilatedResNet50(nn.Module):
                     dilation=dilation,
                     has_downsample=(bi == 0),
                     dtype=self.dtype,
+                    bn_axis=self.bn_axis,
                     name=f"layer{si}_block{bi}",
                 )(x, train)
         return x

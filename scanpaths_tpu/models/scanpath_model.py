@@ -109,6 +109,20 @@ class ScanpathModel(nn.Module):
     # backbone stem implementation ("conv" | "s2d"); see
     # resnet.DilatedResNet50.stem_impl
     stem_impl: str = "conv"
+    # manual tensor parallelism (train/tp_step.py): when set to a mesh
+    # axis name the model expects to run INSIDE a shard_map over that
+    # axis with the heavy decode kernels (h-gate conv, xgates) arriving
+    # as contraction-dim slices; they compute row-parallel with
+    # explicit psums (components.tp_row_conv).  None = normal
+    # replicated/GSPMD execution.  tp_shards must equal the model-axis
+    # size (flax validates parameter shapes, so the slice shape is
+    # declared up front).
+    tp_axis: Any = None
+    tp_shards: int = 1
+    # cross-device BatchNorm axis (flax axis_name) — set to the data
+    # axis inside shard_map steps so batch stats match the global-batch
+    # stats the pjit path computes
+    bn_axis: Any = None
 
     @property
     def hw(self) -> int:
@@ -128,14 +142,17 @@ class ScanpathModel(nn.Module):
         self.backbone = DilatedResNet50(
             layers=self.backbone_layers, dtype=self.dtype,
             remat=self.remat_mode in ("all", "backbone", "policy"),
-            stem_impl=self.stem_impl)
+            stem_impl=self.stem_impl, bn_axis=self.bn_axis)
         self.sal_conv = nn.Conv(self.embed, (3, 3), padding=[(1, 1), (1, 1)],
                                 kernel_init=xavier_conv_init,
                                 dtype=self.dtype)
-        self.xgates = XGates(self.embed, dtype=self.dtype)
+        self.xgates = XGates(self.embed, dtype=self.dtype,
+                             tp_axis=self.tp_axis,
+                             tp_shards=self.tp_shards)
         self.lstm = FusedConvLSTMCell(
             self.embed, num_signals=2 if self.task == "air" else 1,
-            dtype=self.dtype)
+            dtype=self.dtype, tp_axis=self.tp_axis,
+            tp_shards=self.tp_shards)
         self.semantic_embed = nn.Dense(self.embed, kernel_init=dense_init,
                                        dtype=self.dtype)
         self.spatial_embed = nn.Dense(self.hw, kernel_init=dense_init,

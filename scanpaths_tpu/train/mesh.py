@@ -31,18 +31,28 @@ sharded weights are USED differs by path, and deliberately so:
   ~tens of MB over ICI for this model).  The gather is NOT a cop-out:
   differentiating *through the decode scan* with contraction-sharded
   broadcast kernels is miscompiled by BOTH current XLA partitioners
-  on a 2-D mesh (jax 0.9.0, CPU backend probes: Shardy returns
-  deterministically wrong forward losses inside value_and_grad —
-  loss_duration 0.669 -> 1.422; GSPMD returns exact losses but the
-  scan-coupled kernels' gradients come back all-zeros on a
-  data-major mesh and exactly 2x on a model-major mesh, while every
-  non-scan kernel's gradient matches to 1e-6).  The gather-at-entry
-  step sidesteps the partitioner corner entirely because its internal
-  program IS the replicated one — verified correct under BOTH
-  partitioners (step-loss equal to 3e-6), so the JAX-default
-  partitioner is left untouched; tests/test_mesh.py pins step-level
-  equivalence, which would also catch the upstream bug being fixed
-  (at which point the compute path can be re-evaluated).
+  on a 2-D mesh.  The checked-in reproducer ``tools/tp_repro.py``
+  makes this falsifiable — measured on jax 0.9.0 (CPU backend,
+  compile cache disabled): Shardy returns deterministically wrong
+  losses inside value_and_grad (loss_duration off by 0.083 at tiny
+  geometry); GSPMD with the fused head returns the exact loss but the
+  ConvLSTM gate kernel's gradient comes back exactly ~2x and xgates'
+  ~4x partial, while a plain scan+sharded-conv toy program compiles
+  correctly under both.  Run tp_repro after a jax upgrade: exit 0
+  means the bug is fixed upstream and this design can be revisited.
+  The gather-at-entry step sidesteps the partitioner corner entirely
+  because its internal program IS the replicated one — verified
+  correct under BOTH partitioners; tests/test_mesh.py pins step-level
+  equivalence.
+
+  **True row-parallel training exists too** (train/tp_step.py): a
+  ``shard_map`` supervised step with hand-written collectives
+  (Megatron-style tp_enter/tp_exit boundaries, components.py) shards
+  the two heavy decode kernels (~81% of model FLOPs) along their
+  contraction dim and never lets a partitioner see the scan —
+  step-equivalent to the replicated program
+  (tests/test_tp_shardmap.py) and exercised by the multi-chip dryrun.
+  It stays opt-in until profiled on real multi-chip hardware.
 
 Pipeline/expert axes are deliberately absent: the model has no expert
 layers, and its depth (a 16-step recurrent scan over a 4-stage trunk)

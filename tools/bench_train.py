@@ -43,9 +43,9 @@ ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "8"))
 WARMUP = 2
 # (batch, remat mode) — modes per models/scanpath_model.py: "none",
 # "backbone", "scan", "scan_policy", "policy", "all"
-SUP_SWEEP = ((16, "none"), (32, "none"), (48, "none"), (64, "none"),
-             (64, "scan_policy"), (64, "policy"), (96, "policy"),
-             (128, "policy"), (64, "all"))
+SUP_SWEEP = ((16, "none"), (32, "none"), (48, "none"),
+             (64, "scan_policy"), (64, "policy"), (64, "all"),
+             (96, "all"), (128, "all"))
 RL_SWEEP = (4, 8, 16, 32)
 
 
