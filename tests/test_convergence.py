@@ -1,0 +1,51 @@
+"""The committed convergence artifact (CONVERGENCE.json, produced by
+tools/convergence_run.py on a real chip) must show the two-phase
+optimization actually optimizing: supervised loss falling, the
+validation selection scalar improving over random init, and the SCST
+phase lifting both its own reward and the validation scalar over the
+``supervised_save`` snapshot (the improvement the reference exists to
+produce — reference OSIE/train.py:252-258).  A sign error in the
+REINFORCE advantage, LR schedule, or mask polarity flips these deltas
+when the artifact is regenerated."""
+
+import json
+import pathlib
+
+import pytest
+
+ART = pathlib.Path(__file__).parent.parent / "CONVERGENCE.json"
+
+
+@pytest.fixture(scope="module")
+def art():
+    if not ART.exists():
+        pytest.skip("CONVERGENCE.json not generated yet "
+                    "(python tools/convergence_run.py)")
+    return json.loads(ART.read_text())
+
+
+def test_supervised_loss_decreases(art):
+    sup = art["supervised"]
+    assert sup["loss_last_epoch_mean"] < sup["loss_first_epoch_mean"]
+    # materially, not within noise: at least 20% off the first epoch
+    assert sup["loss_last_epoch_mean"] < 0.8 * sup["loss_first_epoch_mean"]
+    assert art["deltas"]["supervised_loss_decreased"] is True
+
+
+def test_validation_metric_improves_over_training(art):
+    sup_val = art["supervised"]["val_metric_per_epoch"]
+    best = max(sup_val + art["rl"]["val_metric_per_epoch"])
+    assert best > sup_val[0], (best, sup_val)
+    assert art["deltas"]["val_metric_improved_over_training"] is True
+
+
+def test_rl_phase_improves_over_supervised_save(art):
+    rl = art["rl"]
+    assert rl["best_val_metric"] > rl["supervised_save_val_metric"], rl
+    assert art["deltas"]["rl_improved_over_supervised_save"] is True
+
+
+def test_rl_reward_improves(art):
+    rl = art["rl"]
+    assert rl["reward_last_epoch_mean"] > rl["reward_first_epoch_mean"], rl
+    assert art["deltas"]["rl_reward_improved"] is True

@@ -160,6 +160,76 @@ def test_rl_step_runs(task):
     assert not np.allclose(before, after)
 
 
+def test_rl_step_improves_reward():
+    """Live SCST sign test: updates on a fixed batch with a strongly
+    learnable reward (every GT subject fixates ONE grid cell) must
+    RAISE the mean reward and concentrate the policy on that cell.  A
+    flipped advantage sign drives both DOWN, which no step-equivalence
+    test catches; CONVERGENCE.json covers the full-geometry version.
+
+    Setup notes (all measured, see git history): the duration head is
+    calibrated like a supervised phase leaves it (x0.01 on drt_layer_2,
+    the same device bench_train.py uses — SCST from a RAW random init
+    blows sigma2 up through the duration REINFORCE term and NaNs the
+    params, faithfully to the reference which never runs RL before 5
+    supervised epochs); a constant learning rate replaces the two-phase
+    schedule; 4 rollouts cut baseline variance enough for 48 steps to
+    separate signal from sampling noise."""
+    import flax
+    import optax
+
+    model, _, state0, images, kw, rng = _tiny_setup("coco")
+    flat = flax.traverse_util.flatten_dict(state0.params)
+    flat = {k: (v * 0.01 if "drt_layer_2" in k else v)
+            for k, v in flat.items()}
+    params0 = flax.traverse_util.unflatten_dict(flat)
+    optimizer = optax.chain(optax.clip_by_global_norm(12.5),
+                            optax.scale_by_adam(), optax.scale(-2e-3))
+    state = steps.TrainState(
+        params=params0, batch_stats=state0.batch_stats,
+        opt_state=optimizer.init(params0), step=jnp.int32(0))
+    grid = GridSpec(map_width=MW, map_height=MH, width=W, height=H,
+                    max_length=T, min_length=1)
+    cfg = steps.RLConfig(task="coco", grid=grid, rl_sample_number=4,
+                         max_symbols_wd=32)
+    smax, glen = 3, 4
+    gx, gy = grid.x_granularity, grid.y_granularity
+    gt_fix = np.zeros((N, smax, glen, 3), np.float32)
+    gt_fix[..., 0] = 2 * gx + gx / 2
+    gt_fix[..., 1] = 2 * gy + gy / 2
+    gt_fix[..., 2] = 0.3
+    batch = {
+        "images": images,
+        "gt_fix": jnp.asarray(gt_fix),
+        "gt_len": jnp.full((N, smax), glen, jnp.int32),
+        "gt_mask": jnp.ones((N, smax), jnp.float32),
+        "attention_maps": kw["attention_maps"],
+        "tasks": kw["task_ids"],
+    }
+    rl = jax.jit(lambda s, b, k: steps.rl_step(model, optimizer, s, b, k,
+                                               cfg))
+    act = 1 + 2 * MW + 2  # the GT cell's action id
+
+    def gt_cell_prob(st):
+        out = model.apply({"params": st.params,
+                           "batch_stats": st.batch_stats},
+                          images, train=False,
+                          attention_maps=kw["attention_maps"],
+                          task_ids=kw["task_ids"])
+        return float(np.asarray(out["all_actions_prob"])[..., act].mean())
+
+    p_before = gt_cell_prob(state)
+    st, rewards = state, []
+    for i in range(48):
+        st, m = rl(st, batch, jax.random.PRNGKey(100 + i))
+        rewards.append(float(m["reward_hmean"]))
+    first, last = np.mean(rewards[:8]), np.mean(rewards[-8:])
+    # measured trajectory: 0.50 -> 0.86 reward, cell prob 0.009 -> 1.0
+    assert last > first + 0.1, (first, last)
+    p_after = gt_cell_prob(st)
+    assert p_after > max(5 * p_before, 0.5), (p_before, p_after)
+
+
 def test_rl_step_air():
     model, optimizer, state, images, kw, rng = _tiny_setup("air")
     grid = GridSpec(map_width=MW, map_height=MH, width=W, height=H,

@@ -1,10 +1,22 @@
 """Serving-latency benchmark: single-image greedy decode
 (BASELINE.json config 1) on the current backend.
 
-Prints one JSON line with p50/p95 latency and images/s for batch-1 and
-a small serving batch.  Same honesty rules as bench.py: every timed
-iteration materializes a device-computed scalar on the host (the only
-true barrier on a tunneled backend).
+Prints one JSON line per-batch with BOTH serving disciplines:
+
+* ``p50_ms``/``p95_ms``/``images_per_sec`` — strict request/response:
+  dispatch, wait for the result, repeat.  On this box's tunneled
+  backend that includes a ~30 ms host<->device dispatch RTT per
+  request, which is a property of the tunnel, not the chip.
+* ``pipelined_images_per_sec``/``device_ms_per_batch`` — dispatch-
+  ahead serving (the loop a real server runs): ITERS requests
+  enqueued, results drained inside the timed window.  Dispatch
+  overlaps compute, so the per-batch time converges to DEVICE time;
+  ``dispatch_overhead_ms`` = sequential p50 - device time isolates
+  the tunnel's share of the request/response number.
+
+Same honesty rules as bench.py: every timed iteration materializes a
+device-computed scalar on the host (the only true barrier on a
+tunneled backend).
 
 Usage: python tools/bench_serving.py            # live model, random init
        python tools/bench_serving.py --bundle DIR   # exported AOT bundle
@@ -67,7 +79,9 @@ def _live_step(dtype):
                           out["log_normal_sigma2"], grid)
         return s.fix, s.fix_len, sample_checksum(s)
 
-    return lambda images: _step(variables, images), (1, 8), (240, 320)
+    # batch 32 pushes the batched-serving number toward the decode-
+    # bench rate (the tunnel dispatch floor amortizes over the batch)
+    return lambda images: _step(variables, images), (1, 8, 32), (240, 320)
 
 
 def _bundle_step(bundle_dir: str):
@@ -120,10 +134,27 @@ def main(argv=None):
             float(np.asarray(chk))  # true barrier
             lat.append(time.perf_counter() - t0)
         lat_ms = np.sort(np.asarray(lat)) * 1e3
+        p50 = float(np.percentile(lat_ms, 50))
+
+        # pipelined discipline: enqueue every request, drain at the end
+        # (each checksum still host-materialized INSIDE the window)
+        chks = []
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            _, _, chk = step(images)
+            chks.append(chk)
+        for chk in chks:
+            float(np.asarray(chk))
+        dt = time.perf_counter() - t0
+        device_ms = dt / ITERS * 1e3
+
         results[f"batch{batch}"] = {
-            "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+            "p50_ms": round(p50, 2),
             "p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
             "images_per_sec": round(batch / float(np.median(lat)), 2),
+            "pipelined_images_per_sec": round(batch * ITERS / dt, 2),
+            "device_ms_per_batch": round(device_ms, 2),
+            "dispatch_overhead_ms": round(max(p50 - device_ms, 0.0), 2),
         }
 
     print(json.dumps({

@@ -122,6 +122,54 @@ def make_coco(root, rng, n_images=6, n_subjects=3,
         json.dump(detector, f)
 
 
+def make_osie_structured(root, rng, n_train=64, n_val=8, n_subjects=8,
+                         n_blobs=3):
+    """A LEARNABLE synthetic OSIE corpus for convergence runs
+    (tools/convergence_run.py): images are dark with ``n_blobs`` bright
+    rectangles; every subject fixates the blob centers in salience
+    order (with spatial noise and an occasional revisit) and dwells
+    proportionally to blob brightness.  A model must therefore learn an
+    image -> scanpath mapping — supervised loss, validation ScanMatch
+    and the SCST reward all have genuine headroom over a random-init
+    policy, unlike the uniform-random corpus of :func:`make_osie`."""
+    os.makedirs(join(root, "stimuli"), exist_ok=True)
+    os.makedirs(join(root, "fixations"), exist_ok=True)
+    img_id = 0
+    for split, n_images in (("train", n_train), ("validation", n_val),
+                            ("test", n_val)):
+        recs = []
+        for _ in range(n_images):
+            name = f"{5001 + img_id}.jpg"
+            img_id += 1
+            arr = np.full((600, 800, 3), 20, np.uint8)
+            centers = rng.uniform((100, 100), (700, 500), (n_blobs, 2))
+            sal = rng.uniform(0.4, 1.0, n_blobs)
+            for (cx, cy), s in zip(centers, sal):
+                x0, y0 = int(cx) - 60, int(cy) - 45
+                arr[max(y0, 0):y0 + 90, max(x0, 0):x0 + 120] = \
+                    int(80 + 175 * s)
+            Image.fromarray(arr).save(join(root, "stimuli", name))
+            order = np.argsort(-sal)
+            for subj in range(n_subjects):
+                seq = list(order) + [int(order[0])]
+                length = n_blobs + int(rng.integers(0, 2))
+                xs, ys, ts = [], [], []
+                for b in seq[:length]:
+                    xs.append(float(np.clip(
+                        centers[b, 0] + rng.normal(0, 15), 0, 799)))
+                    ys.append(float(np.clip(
+                        centers[b, 1] + rng.normal(0, 15), 0, 599)))
+                    ts.append(float(max(
+                        150 + 450 * sal[b] + rng.normal(0, 20), 80)))
+                recs.append({"name": name, "subject": subj + 1,
+                             "X": xs, "Y": ys, "T": ts,
+                             "length": length, "split": split})
+        with open(join(root, "fixations",
+                       f"osie_fixations_{split}.json"), "w") as f:
+            json.dump(recs, f)
+    return root
+
+
 def make_all(root: str, seed: int = 0, **kw):
     rng = np.random.default_rng(seed)
     make_osie(join(root, "osie"), rng, **kw.get("osie", {}))
