@@ -155,6 +155,52 @@ def _sup_batch(jax, jnp, images, batch):
     return make_batch(jax.random.PRNGKey(7))
 
 
+def bench_fwd(batch: int):
+    """Forward+loss ONLY (no grad, no update) at the training batch —
+    the fwd leg of the fwd+bwd roofline split (docs/PERF.md).  Conv
+    backward is exactly 2x forward FLOPs, so
+    ``step_ms - fwd_ms`` vs ``2 * fwd_ms`` localizes whether the
+    training gap lives in the forward or the backward pass."""
+    import numpy as np
+    jax, jnp, steps, model, optimizer, state, images = _setup(batch, False)
+    from scanpaths_tpu.train import losses
+
+    b = _sup_batch(jax, jnp, images, batch)
+
+    @jax.jit
+    def fwd(params, batch_stats, bb):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            bb["images"], train=True, mutable=["batch_stats"])
+        la = losses.cross_entropy_loss(
+            out["actions"], bb["scanpaths"], bb["action_masks"])
+        ld = losses.mlp_log_normal_distribution(
+            out["log_normal_mu"], out["log_normal_sigma2"],
+            bb["durations"], bb["duration_masks"])
+        return la + ld
+
+    for _ in range(WARMUP):
+        loss = fwd(state.params, state.batch_stats, b)
+    float(np.asarray(loss))
+
+    vals = []
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        vals.append(fwd(state.params, state.batch_stats, b))
+    checksum = sum(float(np.asarray(v, np.float64)) for v in vals)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    import bench
+    fwd_flops = bench.model_flops_per_image()
+    imgs = batch / dt
+    print(json.dumps({
+        "metric": "train_forward_only_images_per_sec",
+        "value": round(imgs, 2), "batch": batch, "dtype": "bfloat16",
+        "fwd_ms": round(dt * 1e3, 2),
+        "fwd_mfu": round(imgs * fwd_flops / bench.peak_flops("bfloat16"), 4),
+        "checksum": round(checksum, 4)}))
+
+
 def mem_probe(batch: int, remat):
     """Compile-only HBM probe of the supervised step: XLA's own
     memory_analysis for (batch, remat-mode), no execution — maps the
@@ -351,6 +397,8 @@ if __name__ == "__main__":
                                   "value": 0.0, "oom": True}))
             else:
                 raise
+    elif sys.argv[1] == "fwd":
+        bench_fwd(int(sys.argv[2]))
     elif sys.argv[1] == "pipeline":
         bench_pipeline(int(sys.argv[2]))
     elif sys.argv[1] == "mem":
