@@ -67,11 +67,24 @@ def conv_flops(hw: int, k: int, cin: int, cout: int) -> float:
     return 2.0 * k * k * cin * cout * hw
 
 
-def model_flops_per_image(h: int = 240, w: int = 320, t: int = 16,
-                          embed: int = 512, fuse_head: bool = True) -> float:
-    """Analytic forward FLOPs of the OSIE model (convs only; the Dense
-    attention terms are <1% and ignored).  Mirrors
+def model_flops_parts(h: int = 240, w: int = 320, t: int = 16,
+                      embed: int = 512, fuse_head: bool = True) -> dict:
+    """Analytic forward-FLOP decomposition of the OSIE model (convs
+    only; the Dense attention terms are <1% and ignored).  Mirrors
     scanpaths_tpu/models/{resnet,components,scanpath_model}.py.
+
+    Parts line up with the remat boundaries the model actually has
+    (scanpath_model.ScanpathModel.remat):
+
+    * ``stem``       — the 7x7 input conv (never checkpointed; its dX
+                       is also never needed — images carry no grads);
+    * ``blocks``     — every bottleneck conv (what remat="backbone"
+                       recomputes);
+    * ``hoisted``    — sal_conv + xgates, once per forward;
+    * ``step_gates`` — the per-step 3x3 embed->4*embed h-gate conv
+                       (what the "lstm_gates" checkpoint policy SAVES);
+    * ``step_other`` — the per-step factorized signal gates + head
+                       (what remat="scan_policy" recomputes).
 
     ``fuse_head=True`` (the model default) accounts the composed
     conditioner+head evaluation (components.fuse_cond_head): the
@@ -80,13 +93,13 @@ def model_flops_per_image(h: int = 240, w: int = 320, t: int = 16,
     The once-per-forward kernel-composition cost is excluded (it is
     amortized over the batch, <0.01% — exclusion only *understates*
     reported MFU)."""
-    total = 0.0
     # --- dilated ResNet-50 stem ---
     h2, w2 = h // 2, w // 2                       # conv1 stride 2
-    total += conv_flops(h2 * w2, 7, 3, 64)
+    stem = conv_flops(h2 * w2, 7, 3, 64)
     hp = -(-(h2 - 3) // 2) + 1                    # ceil maxpool
     wp = -(-(w2 - 3) // 2) + 1
     # --- stages: (planes, stride, blocks); stride sits on block 0 ---
+    blocks_total = 0.0
     cin = 64
     cur_h, cur_w = hp, wp
     for planes, stride, blocks in ((64, 1, 3), (128, 1, 4),
@@ -95,18 +108,18 @@ def model_flops_per_image(h: int = 240, w: int = 320, t: int = 16,
             s = stride if bi == 0 else 1
             out_h, out_w = cur_h // s, cur_w // s
             hw = out_h * out_w
-            total += conv_flops(hw, 1, cin, planes)           # conv1
-            total += conv_flops(hw, 3, planes, planes)        # conv2
-            total += conv_flops(hw, 1, planes, planes * 4)    # conv3
+            blocks_total += conv_flops(hw, 1, cin, planes)         # conv1
+            blocks_total += conv_flops(hw, 3, planes, planes)      # conv2
+            blocks_total += conv_flops(hw, 1, planes, planes * 4)  # conv3
             if bi == 0:
-                total += conv_flops(hw, 1, cin, planes * 4)   # downsample
+                blocks_total += conv_flops(hw, 1, cin, planes * 4)
             cin = planes * 4
             cur_h, cur_w = out_h, out_w
     fh, fw = cur_h, cur_w                          # 30 x 40 feature grid
     fhw = fh * fw
     # --- decoder, hoisted convs (once) ---
-    total += conv_flops(fhw, 3, 2048, embed)       # sal_conv
-    total += conv_flops(fhw, 3, embed, 4 * embed)  # xgates
+    hoisted = (conv_flops(fhw, 3, 2048, embed)       # sal_conv
+               + conv_flops(fhw, 3, embed, 4 * embed))  # xgates
     # --- decoder, per step ---
     # gates_s0 runs FACTORIZED over the rank-1 signal (SignalGates):
     # kernel (x) semantic contraction + scalar-map correlation instead
@@ -124,9 +137,74 @@ def model_flops_per_image(h: int = 240, w: int = 320, t: int = 16,
         head = (conv_flops(fhw, 5, embed, embed)        # conditioner
                 + conv_flops(fhw, 1, embed, 2)          # head 1x1s
                 + conv_flops(h5 * w5, 7, embed, 1))     # drt
-    per_step = conv_flops(fhw, 3, embed, 4 * embed) + gates_s + head
-    total += t * per_step
-    return total
+    step_gates = conv_flops(fhw, 3, embed, 4 * embed)
+    return {"stem": stem, "blocks": blocks_total, "hoisted": hoisted,
+            "step_gates": step_gates, "step_other": gates_s + head, "t": t}
+
+
+def model_flops_per_image(h: int = 240, w: int = 320, t: int = 16,
+                          embed: int = 512, fuse_head: bool = True) -> float:
+    """Analytic forward FLOPs of the OSIE model (see model_flops_parts)."""
+    p = model_flops_parts(h, w, t, embed, fuse_head)
+    return (p["stem"] + p["blocks"] + p["hoisted"]
+            + p["t"] * (p["step_gates"] + p["step_other"]))
+
+
+def train_flops_per_image(remat_mode: str = "none", **kw) -> float:
+    """Analytic fwd+bwd FLOPs of one TRAINING step per image, by remat
+    mode — replaces the crude ``3 x fwd`` heuristic (round-4 verdict):
+
+    * backward of a conv is two convs of the same cost (dX and dW), so
+      bwd = 2 x fwd MINUS the stem's dX (images carry no gradients);
+    * each remat mode re-runs exactly the region it checkpoints during
+      the backward pass, so its recompute FLOPs are that region's
+      forward cost (model_flops_parts maps regions to modes).
+    """
+    p = model_flops_parts(**kw)
+    scan = p["t"] * (p["step_gates"] + p["step_other"])
+    fwd = p["stem"] + p["blocks"] + p["hoisted"] + scan
+    bwd = 2.0 * fwd - p["stem"]
+    recompute = {
+        "none": 0.0,
+        "backbone": p["blocks"],
+        "scan": scan,
+        "scan_policy": p["t"] * p["step_other"],
+        "policy": p["blocks"] + p["t"] * p["step_other"],
+        "all": p["blocks"] + scan,
+    }[remat_mode]
+    return fwd + bwd + recompute
+
+
+def calibrate_duration_head(variables, median_s: float = 0.25,
+                            sigma2: float = 0.3):
+    """Return ``variables`` with the duration head calibrated to emit
+    realistic fixation durations, the way a supervised-trained model
+    does.  At random init the drt_layer_2 output reaches ~11, so
+    ``sigma2 = exp(t)`` ~ 5e4 and the LogNormal samples overflow to
+    inf — which NaNs REINFORCE terms (bench_train rl) and blows the
+    ScanMatch TempBin expansion past any static table bound
+    (eval_sweep overflow_frac ~1 in BENCH_r04).  Scaling the kernel to
+    ~0 and pinning the bias to [log(median_s), log(sigma2)] gives
+    durations ~ LogNormal(log median_s, sigma2^2) — median ``median_s``
+    seconds (the quirk duration = exp(randn * sigma2 + mu), ops/
+    sampling.py) — with every shape, parameter, and timed op identical.
+    Real validation runs decode from a trained checkpoint whose head
+    sits in exactly this regime (reference OSIE two-phase schedule)."""
+    import flax
+    import numpy as np
+
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    out = {}
+    for k, v in flat.items():
+        if "drt_layer_2" in k:
+            if k[-1] == "kernel":
+                v = v * 0.0
+            elif k[-1] == "bias":
+                v = jnp.asarray(
+                    np.log([median_s, sigma2]), dtype=v.dtype)
+        out[k] = v
+    return dict(variables,
+                params=flax.traverse_util.unflatten_dict(out))
 
 
 def peak_flops(dtype: str) -> float:
@@ -280,6 +358,11 @@ def main():
         k, (BATCH, 240, 320, 3), jnp.float32))(jax.random.PRNGKey(42))
     variables = jax.jit(lambda k: model.init(k, images, train=False))(
         jax.random.PRNGKey(0))
+    # calibrate the duration head to the trained-model regime so the
+    # eval-sweep's TempBin expansion matches a real validation run
+    # (r4 verdict item 4: overflow_frac 0.9992 at random init); the
+    # headline decode timing is duration-magnitude-independent
+    variables = calibrate_duration_head(variables)
 
     @jax.jit
     def step(variables, images, key):

@@ -17,13 +17,16 @@ Honesty protocol (same as bench.py):
   printed so the work cannot be dead-code-eliminated;
 * inputs are generated on device (pushing ~100MB batches through the
   ~MB/s tunnel would bill transfer stalls as compute);
-* MFU is reported as ``approx_mfu`` using the standard 3x-forward
-  estimate for fwd+bwd FLOPs — an estimate, labeled as such.
+* MFU is ANALYTIC per remat mode (bench.train_flops_per_image):
+  fwd + bwd (2x fwd minus the stem's unneeded dX) + the recompute
+  FLOPs of exactly the region the mode checkpoints.
 
 Usage:
     python tools/bench_train.py                 # full sweep + headline
-    python tools/bench_train.py sup <batch> <remat 0|1>
+    python tools/bench_train.py sup <batch> <remat mode|0|1>
     python tools/bench_train.py rl <batch>
+    python tools/bench_train.py fwd <batch> [remat mode]
+    python tools/bench_train.py mem <batch> <remat mode>
     python tools/bench_train.py pipeline <batch>
 """
 
@@ -42,10 +45,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sp_bench_cache")
 ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "8"))
 WARMUP = 2
 # (batch, remat mode) — modes per models/scanpath_model.py: "none",
-# "backbone", "scan", "scan_policy", "policy", "all"
-SUP_SWEEP = ((16, "none"), (32, "none"), (48, "none"),
+# "backbone", "scan", "scan_policy", "policy", "all".  The r4-verdict
+# campaign grid: every remat mode at batch 32, the memory-limited
+# modes at 64/96/128 (batch-64 "none" is kept to RECORD the OOM).
+SUP_SWEEP = ((32, "none"), (32, "backbone"), (32, "scan"),
+             (32, "scan_policy"), (32, "policy"),
+             (64, "none"), (64, "backbone"), (64, "scan"),
              (64, "scan_policy"), (64, "policy"), (64, "all"),
-             (96, "all"), (128, "all"))
+             (96, "scan_policy"), (96, "policy"), (96, "all"),
+             (128, "policy"), (128, "all"))
 RL_SWEEP = (4, 8, 16, 32)
 
 
@@ -87,19 +95,12 @@ def _setup(batch: int, remat):
         k, (batch, 240, 320, 3), jnp.float32))(jax.random.PRNGKey(42))
     variables = jax.jit(lambda k: model.init(k, images, train=False))(
         jax.random.PRNGKey(0))
-    # calibrate the duration head like a trained model would be: at
-    # random init the drt_layer_2 Dense output reaches ~11, and
-    # sigma2 = exp(t) ~ 5e4 makes the LogNormal samples overflow to
-    # inf -> NaN REINFORCE terms (real RL starts from a supervised
-    # checkpoint whose head is calibrated, reference OSIE/train.py
-    # two-phase schedule).  Scaling the kernel keeps shapes, the
-    # parameter tree, and every timed op identical.
-    import flax
-    flat = flax.traverse_util.flatten_dict(variables["params"])
-    flat = {k: (v * 0.01 if "drt_layer_2" in k else v)
-            for k, v in flat.items()}
-    variables = dict(variables,
-                     params=flax.traverse_util.unflatten_dict(flat))
+    # calibrate the duration head like a trained model's (shared with
+    # the driver bench — bench.calibrate_duration_head): realistic
+    # LogNormal durations instead of the random-init sigma2 ~ 5e4 that
+    # NaNs REINFORCE terms and overflows the ScanMatch TempBin tables
+    import bench
+    variables = bench.calibrate_duration_head(variables)
     state = steps.TrainState(
         params=variables["params"], batch_stats=variables["batch_stats"],
         opt_state=optimizer.init(variables["params"]), step=jnp.int32(0))
@@ -129,13 +130,15 @@ def bench_sup(batch: int, remat):
     dt = (time.perf_counter() - t0) / ITERS
 
     import bench
-    fwd = bench.model_flops_per_image()
+    train_flops = bench.train_flops_per_image(model.remat_mode)
     imgs = batch / dt
     print(json.dumps({
         "metric": "train_supervised_images_per_sec", "value": round(imgs, 2),
         "batch": batch, "remat": model.remat_mode, "dtype": "bfloat16",
         "step_ms": round(dt * 1e3, 2),
-        "approx_mfu": round(imgs * 3 * fwd / bench.peak_flops("bfloat16"), 4),
+        "train_flops_per_image": train_flops,
+        "mfu": round(imgs * train_flops / bench.peak_flops("bfloat16"), 4),
+        "bf16_moments": bool(int(os.environ.get("BENCH_BF16_MOMENTS", "0"))),
         "checksum": round(checksum, 4)}))
 
 
@@ -155,14 +158,19 @@ def _sup_batch(jax, jnp, images, batch):
     return make_batch(jax.random.PRNGKey(7))
 
 
-def bench_fwd(batch: int):
+def bench_fwd(batch: int, remat="none"):
     """Forward+loss ONLY (no grad, no update) at the training batch —
     the fwd leg of the fwd+bwd roofline split (docs/PERF.md).  Conv
-    backward is exactly 2x forward FLOPs, so
-    ``step_ms - fwd_ms`` vs ``2 * fwd_ms`` localizes whether the
-    training gap lives in the forward or the backward pass."""
+    backward is 2x forward FLOPs (dX + dW), so against a remat="none"
+    training row ``step_ms - fwd_ms`` vs ``2 * fwd_ms`` localizes
+    whether the training gap lives in the forward or the backward
+    pass.  Pass the training row's remat mode to compare against
+    remat rows: the forward program is unchanged by remat (checkpoint
+    only changes what backward saves), but passing it keeps the model
+    construction — and therefore the compiled forward — identical to
+    that row's."""
     import numpy as np
-    jax, jnp, steps, model, optimizer, state, images = _setup(batch, False)
+    jax, jnp, steps, model, optimizer, state, images = _setup(batch, remat)
     from scanpaths_tpu.train import losses
 
     b = _sup_batch(jax, jnp, images, batch)
@@ -325,11 +333,12 @@ def bench_pipeline(batch: int):
         "native": native.available()}))
 
 
-def _run_one(args: list[str]) -> dict | None:
+def _run_one(args: list[str], env: dict | None = None) -> dict | None:
     """Run one config in a fresh process; parse its last JSON line."""
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)] + args,
-        capture_output=True, text=True, timeout=1800)
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, **(env or {})})
     sys.stderr.write(proc.stderr[-1500:] if proc.returncode else "")
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
@@ -350,8 +359,22 @@ def sweep():
     sup = [r for (bsz, rm) in SUP_SWEEP
            if (r := _run_one(["sup", str(bsz), str(rm)]))]
     sup = [r for r in sup if not r.get("oom")] or sup
-    rl = [r for bsz in RL_SWEEP if (r := _run_one(["rl", str(bsz)]))]
     best_sup = max(sup, key=lambda r: r["value"], default=None)
+    # bf16-Adam-moment leg: the top-2 (batch, remat) configs re-run
+    # with half-precision moments (schedule.make_optimizer
+    # bf16_moments) — the campaign's third axis
+    bf16 = []
+    for r in sorted(sup, key=lambda r: -r["value"])[:2]:
+        rec = _run_one(["sup", str(r["batch"]), str(r["remat"])],
+                       env={"BENCH_BF16_MOMENTS": "1"})
+        if rec and not rec.get("oom"):
+            rec["bf16_moments"] = True
+            bf16.append(rec)
+    best_bf16 = max(bf16, key=lambda r: r["value"], default=None)
+    # fwd leg at the winning batch for the fwd-vs-bwd roofline split
+    fwd = best_sup and _run_one(["fwd", str(best_sup["batch"]),
+                                 str(best_sup["remat"])])
+    rl = [r for bsz in RL_SWEEP if (r := _run_one(["rl", str(bsz)]))]
     best_rl = max(rl, key=lambda r: r["value"], default=None)
     pipe = None
     if best_sup:
@@ -361,7 +384,10 @@ def sweep():
         "supervised_images_per_sec": best_sup and best_sup["value"],
         "supervised_batch": best_sup and best_sup["batch"],
         "supervised_remat": best_sup and best_sup["remat"],
-        "supervised_approx_mfu": best_sup and best_sup.get("approx_mfu"),
+        "supervised_mfu": best_sup and best_sup.get("mfu"),
+        "supervised_bf16_moments_images_per_sec":
+            best_bf16 and best_bf16["value"],
+        "forward_only_ms": fwd and fwd.get("fwd_ms"),
         "rl_images_per_sec": best_rl and best_rl["value"],
         "rl_batch": best_rl and best_rl["batch"],
         "input_pipeline_images_per_sec": pipe and pipe["value"],
@@ -398,7 +424,8 @@ if __name__ == "__main__":
             else:
                 raise
     elif sys.argv[1] == "fwd":
-        bench_fwd(int(sys.argv[2]))
+        bench_fwd(int(sys.argv[2]),
+                  _remat_arg(sys.argv[3]) if len(sys.argv) > 3 else "none")
     elif sys.argv[1] == "pipeline":
         bench_pipeline(int(sys.argv[2]))
     elif sys.argv[1] == "mem":
