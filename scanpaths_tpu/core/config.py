@@ -167,6 +167,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "input-channel contraction dim) over a second "
                         "'model' mesh axis; must divide the device "
                         "count.  1 = pure data parallelism")
+    p.add_argument("--tp_impl", type=str, default="gather",
+                   choices=("gather", "shardmap"),
+                   help="how --model_parallel training computes: "
+                        "'gather' = params sharded at rest, all-"
+                        "gathered at step entry (ZeRO-3 style; robust "
+                        "to the XLA partitioner scan miscompile, "
+                        "tools/tp_repro.py); 'shardmap' = true row-"
+                        "parallel compute with hand-written psum "
+                        "collectives on the heavy decode kernels "
+                        "(train/tp_step.py)")
     p.add_argument("--half_precision", type=str2bool, default=False,
                    help="bf16 compute dtype for the model (params stay "
                         "f32); the TPU MXU path")

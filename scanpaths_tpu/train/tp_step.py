@@ -1,5 +1,6 @@
-"""Manual-collective row-parallel training: a ``shard_map`` supervised
-step with explicit psums, bypassing the XLA partitioners entirely.
+"""Manual-collective row-parallel training: ``shard_map`` supervised
+and SCST steps with explicit psums, bypassing the XLA partitioners
+entirely.
 
 Why this exists: both GSPMD and Shardy miscompile ``value_and_grad``
 of the decode scan when the ConvLSTM gate kernels are contraction-
@@ -38,13 +39,27 @@ the partitioners handle it correctly (and the sharded slices' norm
 contributions combine exactly like the replicated program's, because
 each device owns a disjoint slice).
 
+The SCST step (:func:`make_tp_rl_step`) runs the whole in-graph
+rollout -> ScanMatch-reward -> REINFORCE pipeline (steps.rl_loss)
+inside the same shard_map: every reward kernel is per-sample, so the
+batch axis shards cleanly; only the model fwd/bwd needs the f/g
+boundaries.  Each data shard folds its ``axis_index("data")`` into the
+sampling key (model-axis devices share the key, so their replicated
+activations draw IDENTICAL rollouts); the per-sample estimator
+(per-sample rollout baseline, summed loss) makes the sharded program
+gradient-equivalent to running ``steps.rl_loss`` per batch chunk and
+summing — which is exactly what tests/test_tp_shardmap.py pins.
+Scalar metrics are psum'd (the loss) or shard-averaged (the rest;
+exact for unmasked means over equal shards, and the same per-batch
+flavor the reference logs).
+
 Equivalence vs the replicated ``steps.supervised_step`` is pinned by
-tests/test_tp_shardmap.py, and the multi-chip dryrun executes the step
-on a (data x model) mesh (__graft_entry__.py).  Opt-in: construct the
-model with ``tp_axis="model", bn_axis="data", tp_shards=T`` and build
-the step with :func:`make_tp_supervised_step`; the gather-at-entry
-path remains the ``--model_parallel`` default until the shard_map path
-is profiled on real multi-chip hardware.
+tests/test_tp_shardmap.py, and the multi-chip dryrun executes both
+steps on a (data x model) mesh (__graft_entry__.py).  Reachable from
+the CLI via ``--model_parallel T --tp_impl shardmap`` (train/
+trainer.py); the gather-at-entry path remains the ``--model_parallel``
+default until the shard_map path is profiled on real multi-chip
+hardware.
 """
 
 from __future__ import annotations
@@ -95,21 +110,41 @@ def tp_state_sharding(mesh: Mesh, state):
         state)
 
 
+def _check_tp_model(model, mesh: Mesh):
+    assert model.tp_axis == "model" and model.bn_axis == "data" \
+        and model.tp_shards == mesh.shape["model"], (
+        model.tp_axis, model.bn_axis, model.tp_shards)
+
+
+def _apply_update(optimizer, state: TrainState, grads, new_bs):
+    """The optimizer update shared by both shard_map steps — runs
+    OUTSIDE the shard_map under plain jit (elementwise + one global-
+    norm reduction; nothing scan-coupled, so the partitioners handle
+    it, and the sharded slices' norm contributions combine exactly
+    like the replicated program's since each device owns a disjoint
+    slice)."""
+    updates, new_opt = optimizer.update(grads, state.opt_state,
+                                        state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    return TrainState(params=new_params, batch_stats=new_bs,
+                      opt_state=new_opt, step=state.step + 1)
+
+
 def make_tp_supervised_step(model, optimizer, mesh: Mesh, state: TrainState,
-                            lambda_1: float, batch_keys):
+                            lambda_1: float, batch_keys=None):
     """Build the jitted shard_map row-parallel supervised step.
 
     ``model`` must be constructed with ``tp_axis="model"`` and
     ``bn_axis="data"``.  ``state`` is a template for spec derivation;
-    ``batch_keys`` the ordered batch dict keys (all leaves sharded on
-    the batch axis).  Returns ``step(state, batch) -> (state, metrics)``
-    with in/out shardings pinned to the TP layout."""
-    assert model.tp_axis == "model" and model.bn_axis == "data" \
-        and model.tp_shards == mesh.shape["model"], (
-        model.tp_axis, model.bn_axis, model.tp_shards)
+    ``batch_keys`` optionally pins the batch dict keys (all leaves
+    shard on the batch axis; None accepts any batch dict via a
+    tree-prefix spec).  Returns ``step(state, batch) -> (state,
+    metrics)`` with in/out shardings pinned to the TP layout."""
+    _check_tp_model(model, mesh)
     state_specs = tp_state_specs(mesh, state)
     state_sh = tp_state_sharding(mesh, state)
-    batch_specs = {k: P("data") for k in batch_keys}
+    batch_specs = P("data") if batch_keys is None \
+        else {k: P("data") for k in batch_keys}
     grads_specs = state_specs.params
 
     @functools.partial(
@@ -155,13 +190,69 @@ def make_tp_supervised_step(model, optimizer, mesh: Mesh, state: TrainState,
     def step(state: TrainState, batch: dict):
         grads, new_bs, metrics = local_grads(state.params,
                                              state.batch_stats, batch)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        return TrainState(params=new_params, batch_stats=new_bs,
-                          opt_state=new_opt, step=state.step + 1), metrics
+        return _apply_update(optimizer, state, grads, new_bs), metrics
 
-    batch_sh = {k: NamedSharding(mesh, P("data")) for k in batch_keys}
+    batch_sh = None if batch_keys is None \
+        else {k: NamedSharding(mesh, P("data")) for k in batch_keys}
     return jax.jit(step, donate_argnums=(0,),
                    in_shardings=(state_sh, batch_sh),
                    out_shardings=(state_sh, None)), state_sh
+
+
+def make_tp_rl_step(model, optimizer, mesh: Mesh, state: TrainState, cfg):
+    """Build the jitted shard_map row-parallel SCST step.
+
+    The complete in-graph SCST pipeline (``steps.rl_loss``: rollout
+    sampling, ScanMatch/MultiMatch/SED/STDE reward grids, per-sample
+    baselines, REINFORCE sums) runs per data shard — every reward
+    kernel is per-sample, so only the model fwd/bwd inside needs the
+    f/g collective boundaries.  Each data shard folds its axis index
+    into the sampling key; devices along ``model`` share the key, so
+    their replicated activations draw identical rollouts and the
+    hand-psum'd gradients stay consistent.  Gradient-equivalent to
+    running ``rl_loss`` on each batch chunk with the folded key and
+    summing (the pinned reference program in
+    tests/test_tp_shardmap.py); the per-sample estimator makes that
+    chunked program itself estimator-identical to the replicated one —
+    only the PRNG stream differs.
+
+    Returns ``step(state, batch, key) -> (state, metrics)``."""
+    from . import steps as steps_mod
+
+    _check_tp_model(model, mesh)
+    state_specs = tp_state_specs(mesh, state)
+    state_sh = tp_state_sharding(mesh, state)
+    n_data = mesh.shape["data"]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(state_specs.params, state_specs.batch_stats,
+                  P("data"), P()),
+        out_specs=(state_specs.params, P()),
+        check_vma=False)
+    def local_grads(params, batch_stats, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+        def loss_fn(params):
+            return steps_mod.rl_loss(model, params, batch_stats, batch,
+                                     key, cfg)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.psum(grads, "data")
+        # the loss is a SUM over samples -> psum; the other scalars are
+        # per-batch means -> shard-average (shards are equal-sized)
+        metrics = {
+            k: jax.lax.psum(v, "data") / (1 if k == "rl_loss" else n_data)
+            for k, v in metrics.items()}
+        return grads, metrics
+
+    def step(state: TrainState, batch: dict, key):
+        grads, metrics = local_grads(state.params, state.batch_stats,
+                                     batch, key)
+        return _apply_update(optimizer, state, grads,
+                             state.batch_stats), metrics
+
+    return jax.jit(step, donate_argnums=(0,),
+                   in_shardings=(state_sh, None, None),
+                   out_shardings=(state_sh, None))

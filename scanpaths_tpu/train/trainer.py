@@ -93,10 +93,16 @@ def grid_spec(args) -> GridSpec:
                     max_length=args.max_length, min_length=args.min_length)
 
 
-def build_model(args):
+def build_model(args, tp_shards: int = 1):
+    """``tp_shards > 1`` builds the shard_map row-parallel variant
+    (heavy decode kernels declared as contraction slices, cross-device
+    BatchNorm over the data axis — train/tp_step.py); it can only run
+    INSIDE a shard_map over a (data, model) mesh."""
     layers = tuple(int(x) for x in
                    str(getattr(args, "backbone_layers", "3,4,6,3"))
                    .split(","))
+    tp_kw = {} if tp_shards <= 1 else dict(
+        tp_axis="model", bn_axis="data", tp_shards=tp_shards)
     return create_model(
         args.task, seq_len=args.max_length, map_h=args.map_height,
         map_w=args.map_width, embed=getattr(args, "embed", 512),
@@ -104,7 +110,7 @@ def build_model(args):
         remat=getattr(args, "remat", False),
         stem_impl=getattr(args, "stem_impl", "conv"),
         dtype=jnp.bfloat16 if getattr(args, "half_precision", False)
-        else jnp.float32)
+        else jnp.float32, **tp_kw)
 
 
 def eval_specs(ds, grid: GridSpec):
@@ -163,9 +169,17 @@ class EvalCore:
 
     def _build_eval_jits(self):
         # replicated on a data-only mesh; row-parallel kernel sharding
-        # when the mesh has a model axis (--model_parallel)
-        p_sh = state_sharding(self.mesh, self.state.params)
-        b_sh = state_sharding(self.mesh, self.state.batch_stats)
+        # when the mesh has a model axis (--model_parallel).  When the
+        # Trainer pinned an at-rest state layout (self._state_sh —
+        # e.g. the tp_impl=shardmap layout, which shards only the two
+        # decode kernels), reuse it so eval never forces a resharding
+        # copy of the training state.
+        sh = getattr(self, "_state_sh", None)
+        if sh is not None:
+            p_sh, b_sh = sh.params, sh.batch_stats
+        else:
+            p_sh = state_sharding(self.mesh, self.state.params)
+            b_sh = state_sharding(self.mesh, self.state.batch_stats)
         self._eval_forward = jax.jit(
             lambda params, bs, batch: steps._eval_forward(
                 self.model, params, bs, batch),
@@ -429,25 +443,50 @@ class Trainer(EvalCore):
         # jitted steps: batch sharded on the data axis (it arrives
         # pre-sharded via shard_batch); state replicated over the mesh,
         # or row-parallel kernel-sharded over the model axis under
-        # --model_parallel (the steps then all-gather params at entry —
-        # ZeRO-3 style, see train/mesh.py).  Both in- AND out-shardings
-        # are pinned so the state's at-rest layout is identical every
-        # step (XLA otherwise reshards unpinned outputs freely, which
-        # breaks the pinned in_shardings on the next call).
-        self._state_sh = state_sharding(self.mesh, self.state)
-        gather = gather_spec(self.mesh, self.state.params)
-        self.state = jax.device_put(self.state, self._state_sh)
-        self._sup_step = jax.jit(
-            functools.partial(steps.supervised_step, self.model,
-                              self.optimizer, lambda_1=args.lambda_1,
-                              params_gather=gather),
-            donate_argnums=(0,), in_shardings=(self._state_sh, None),
-            out_shardings=(self._state_sh, None))
-        self._rl_step = jax.jit(
-            functools.partial(steps.rl_step, self.model, self.optimizer,
-                              cfg=self.rl_cfg, params_gather=gather),
-            donate_argnums=(0,), in_shardings=(self._state_sh, None, None),
-            out_shardings=(self._state_sh, None))
+        # --model_parallel.  Two TP implementations (--tp_impl):
+        # 'gather' all-gathers params at step entry (ZeRO-3 style, the
+        # default — see train/mesh.py for why), 'shardmap' computes
+        # true row-parallel with hand-written collectives
+        # (train/tp_step.py).  Both in- AND out-shardings are pinned so
+        # the state's at-rest layout is identical every step (XLA
+        # otherwise reshards unpinned outputs freely, which breaks the
+        # pinned in_shardings on the next call).
+        use_shardmap = (getattr(args, "tp_impl", "gather") == "shardmap"
+                        and "model" in self.mesh.axis_names)
+        if use_shardmap:
+            from .tp_step import (make_tp_rl_step,
+                                  make_tp_supervised_step,
+                                  tp_state_sharding)
+            tp_model = build_model(args, tp_shards=args.model_parallel)
+            self._state_sh = tp_state_sharding(self.mesh, self.state)
+            self.state = jax.device_put(self.state, self._state_sh)
+            self._sup_step, _ = make_tp_supervised_step(
+                tp_model, self.optimizer, self.mesh, self.state,
+                lambda_1=args.lambda_1)
+            self._rl_step = make_tp_rl_step(
+                tp_model, self.optimizer, self.mesh, self.state,
+                self.rl_cfg)
+            self.logger.info(
+                "tensor parallel: shard_map row-parallel steps over a "
+                "%dx%d (data x model) mesh", self.mesh.shape["data"],
+                self.mesh.shape["model"])
+        else:
+            self._state_sh = state_sharding(self.mesh, self.state)
+            gather = gather_spec(self.mesh, self.state.params)
+            self.state = jax.device_put(self.state, self._state_sh)
+            self._sup_step = jax.jit(
+                functools.partial(steps.supervised_step, self.model,
+                                  self.optimizer, lambda_1=args.lambda_1,
+                                  params_gather=gather),
+                donate_argnums=(0,), in_shardings=(self._state_sh, None),
+                out_shardings=(self._state_sh, None))
+            self._rl_step = jax.jit(
+                functools.partial(steps.rl_step, self.model,
+                                  self.optimizer,
+                                  cfg=self.rl_cfg, params_gather=gather),
+                donate_argnums=(0,),
+                in_shardings=(self._state_sh, None, None),
+                out_shardings=(self._state_sh, None))
         self._build_eval_jits()
 
         # ---------------- bookkeeping ----------------

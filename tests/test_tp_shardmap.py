@@ -110,6 +110,144 @@ def test_tp_shardmap_step_matches_replicated():
         assert d <= 1e-5 + 1e-4 * m, (jax.tree_util.keystr(kp), d, m)
 
 
+@pytest.mark.slow
+def test_tp_shardmap_rl_step_matches_chunked():
+    """The shard_map SCST step folds each data shard's axis index into
+    the sampling key, so its pinned reference program is: run
+    ``steps.rl_loss`` on each batch CHUNK with the folded key, sum the
+    losses, differentiate, apply the optimizer.  (The per-sample
+    estimator — per-sample rollout baseline, summed loss — makes that
+    chunked program gradient-identical to the replicated one; only the
+    PRNG stream differs.)"""
+    import bench
+    from scanpaths_tpu.core.grid import GridSpec
+    from scanpaths_tpu.train.tp_step import make_tp_rl_step
+
+    rng = np.random.default_rng(1)
+    smax, glen = 3, 4
+    gt_fix = np.zeros((N, smax, glen, 3), np.float32)
+    gt_fix[..., 0] = rng.uniform(0, W, (N, smax, glen))
+    gt_fix[..., 1] = rng.uniform(0, H, (N, smax, glen))
+    gt_fix[..., 2] = rng.uniform(0.1, 0.5, (N, smax, glen))
+    batch = {
+        "images": rng.normal(size=(N, H, W, 3)).astype(np.float32),
+        "gt_fix": gt_fix,
+        "gt_len": np.full((N, smax), glen, np.int32),
+        "gt_mask": np.ones((N, smax), np.float32),
+    }
+    grid = GridSpec(map_width=12, map_height=10, width=W, height=H,
+                    max_length=3, min_length=1)
+    cfg = steps.RLConfig(task="osie", grid=grid, rl_sample_number=2,
+                         max_symbols_wd=64, max_symbols_wod=8)
+
+    plain = create_model("osie", **KW)
+    variables = plain.init(jax.random.PRNGKey(0),
+                           jnp.asarray(batch["images"]), train=False)
+    # calibrated duration head: finite rollout durations -> nonzero
+    # advantages, so the comparison exercises real gradients
+    variables = bench.calibrate_duration_head(variables)
+    optimizer = make_optimizer(_args(), steps_sup=100, steps_rl=100)
+    state0 = steps.TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]), step=jnp.int32(0))
+
+    mesh = make_mesh(4, model_parallel=2)
+    d = mesh.shape["data"]
+    key = jax.random.PRNGKey(7)
+
+    # ---- chunked reference program ----
+    def chunk_loss(params):
+        total, metrics = 0.0, []
+        for i in range(d):
+            sub = {k: jnp.asarray(v[i * N // d:(i + 1) * N // d])
+                   for k, v in batch.items()}
+            loss, m = steps.rl_loss(plain, params, state0.batch_stats,
+                                    sub, jax.random.fold_in(key, i), cfg)
+            total = total + loss
+            metrics.append(m)
+        return total, metrics
+
+    (ref_loss, ref_metrics), ref_grads = jax.jit(
+        lambda p: jax.value_and_grad(chunk_loss, has_aux=True)(p))(
+        state0.params)
+    updates, _ = optimizer.update(ref_grads, state0.opt_state,
+                                  state0.params)
+    ref_params = jax.tree.map(lambda p, u: p + u, state0.params, updates)
+
+    # ---- shard_map row-parallel step ----
+    tp_model = create_model("osie", tp_axis="model", bn_axis="data",
+                            tp_shards=2, **KW)
+    from scanpaths_tpu.train.tp_step import tp_state_sharding
+    rl_step = make_tp_rl_step(tp_model, optimizer, mesh, state0, cfg)
+    tp_state = jax.device_put(state0, tp_state_sharding(mesh, state0))
+    tp_state, tp_m = rl_step(tp_state, batch, key)
+
+    a, b = float(ref_loss), float(tp_m["rl_loss"])
+    assert abs(a - b) <= 5e-5 * max(abs(a), 1.0), (a, b)
+    # a rollout actually scored (the estimator isn't trivially zero)
+    assert float(tp_m["rollout_ok_frac"]) > 0.0
+    # shard-averaged reporting equals the chunk means' average
+    ref_rh = float(np.mean([float(m["reward_hmean"])
+                            for m in ref_metrics]))
+    assert abs(ref_rh - float(tp_m["reward_hmean"])) <= 1e-5
+
+    worst = 0.0
+    for (kp, vr), (kt, vt) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_params),
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(tp_state.params))):
+        assert kp == kt
+        vr, vt = np.asarray(vr), np.asarray(vt)
+        d_ = float(np.abs(vr - vt).max())
+        m_ = float(np.abs(vr).max())
+        worst = max(worst, d_)
+        # same floor rationale as the supervised test above
+        assert d_ <= 5e-5 + 1e-4 * m_, (jax.tree_util.keystr(kp), d_, m_)
+
+
+@pytest.mark.slow
+def test_cli_shardmap_both_phases(tmp_path):
+    """--model_parallel 2 --tp_impl shardmap is a USER path: drive the
+    real CLI through a supervised and an RL epoch on a 4x2
+    (data x model) mesh and check the run artifacts."""
+    import json
+    import os
+    from os.path import join
+
+    from scanpaths_tpu.cli import train as cli_train
+    from tools.make_synth_data import make_osie
+
+    root = str(tmp_path / "data")
+    make_osie(join(root, "osie"), np.random.default_rng(0))
+    log_root = str(tmp_path / "logs")
+    cli_train.main([
+        "--task", "osie",
+        "--img_dir", join(root, "osie", "stimuli"),
+        "--fix_dir", join(root, "osie", "fixations"),
+        "--log_root", log_root,
+        "--height", "40", "--width", "48",
+        "--map_height", "5", "--map_width", "6",
+        "--max_length", "4",
+        "--embed", "128", "--backbone_layers", "1,1,1,1",
+        "--batch", "16", "--rl_sample_number", "2",
+        "--eval_repeat_num", "1",
+        "--warmup_epoch", "1", "--start_rl_epoch", "1",
+        "--epoch", "2",
+        "--model_parallel", "2", "--tp_impl", "shardmap",
+    ])
+    runs = [r for r in os.listdir(log_root)
+            if not r.endswith("_supervised_save")]
+    (run,) = runs
+    with open(join(log_root, run, "scalars.jsonl")) as f:
+        tags = {json.loads(line)["tag"] for line in f}
+    # both phases ran through the shard_map steps
+    assert "loss/loss" in tags and "rl_loss" in tags
+    assert "reward_hmean" in tags
+    with open(join(log_root, run, "hparams.json")) as f:
+        hp = json.load(f)
+    assert hp["tp_impl"] == "shardmap" and hp["model_parallel"] == 2
+
+
 def test_tp_specs_shard_only_decode_kernels():
     from jax.sharding import PartitionSpec as P
 

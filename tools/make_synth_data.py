@@ -123,7 +123,8 @@ def make_coco(root, rng, n_images=6, n_subjects=3,
 
 
 def make_osie_structured(root, rng, n_train=64, n_val=8, n_subjects=8,
-                         n_blobs=3):
+                         n_blobs=3, noise_px=15, order_swap_p=0.0,
+                         dwell_noise_ms=20):
     """A LEARNABLE synthetic OSIE corpus for convergence runs
     (tools/convergence_run.py): images are dark with ``n_blobs`` bright
     rectangles; every subject fixates the blob centers in salience
@@ -131,7 +132,15 @@ def make_osie_structured(root, rng, n_train=64, n_val=8, n_subjects=8,
     proportionally to blob brightness.  A model must therefore learn an
     image -> scanpath mapping — supervised loss, validation ScanMatch
     and the SCST reward all have genuine headroom over a random-init
-    policy, unlike the uniform-random corpus of :func:`make_osie`."""
+    policy, unlike the uniform-random corpus of :func:`make_osie`.
+
+    ``noise_px`` / ``order_swap_p`` / ``dwell_noise_ms`` control how
+    noisy a sample of the image's underlying program each SUBJECT is
+    (spatial scatter around the blob centers, probability of swapping
+    the 2nd/3rd blob in the visit order, dwell-time scatter).  See
+    :func:`make_osie_headroom` for why cranking them creates the
+    supervised-vs-RL headroom the reference's two-phase schedule
+    exists to exploit."""
     os.makedirs(join(root, "stimuli"), exist_ok=True)
     os.makedirs(join(root, "fixations"), exist_ok=True)
     img_id = 0
@@ -151,16 +160,20 @@ def make_osie_structured(root, rng, n_train=64, n_val=8, n_subjects=8,
             Image.fromarray(arr).save(join(root, "stimuli", name))
             order = np.argsort(-sal)
             for subj in range(n_subjects):
-                seq = list(order) + [int(order[0])]
+                visit = list(order)
+                if n_blobs >= 3 and rng.uniform() < order_swap_p:
+                    visit[1], visit[2] = visit[2], visit[1]
+                seq = visit + [int(visit[0])]
                 length = n_blobs + int(rng.integers(0, 2))
                 xs, ys, ts = [], [], []
                 for b in seq[:length]:
                     xs.append(float(np.clip(
-                        centers[b, 0] + rng.normal(0, 15), 0, 799)))
+                        centers[b, 0] + rng.normal(0, noise_px), 0, 799)))
                     ys.append(float(np.clip(
-                        centers[b, 1] + rng.normal(0, 15), 0, 599)))
+                        centers[b, 1] + rng.normal(0, noise_px), 0, 599)))
                     ts.append(float(max(
-                        150 + 450 * sal[b] + rng.normal(0, 20), 80)))
+                        150 + 450 * sal[b]
+                        + rng.normal(0, dwell_noise_ms), 80)))
                 recs.append({"name": name, "subject": subj + 1,
                              "X": xs, "Y": ys, "T": ts,
                              "length": length, "split": split})
@@ -168,6 +181,34 @@ def make_osie_structured(root, rng, n_train=64, n_val=8, n_subjects=8,
                        f"osie_fixations_{split}.json"), "w") as f:
             json.dump(recs, f)
     return root
+
+
+def make_osie_headroom(root, rng, **kw):
+    """The RL-lift corpus: subjects are NOISY, ORDER-AMBIGUOUS samples
+    of each image's underlying blob program, so the supervised snapshot
+    is NOT at the reward ceiling and SCST has genuine headroom above it
+    (the lift the reference's two-phase schedule exists to produce,
+    reference OSIE/train.py:252-258).
+
+    Why headroom exists here and not in the tight corpus
+    (make_osie_structured defaults): teacher-forced CE learns the
+    per-step MARGINAL over subjects.  With sigma=40 px scatter (2
+    action-grid cells / 0.8 ScanMatch bins at the 800->320 rescale),
+    a 30% chance of swapping the 2nd/3rd blob, and 100 ms dwell
+    scatter, that marginal is diffuse and bimodal — so SAMPLING from
+    it compounds subject scatter with policy entropy (and can mix
+    visit orders mid-rollout).  The sequence-level ScanMatch reward is
+    instead maximized by committing to the central mode: a lower-
+    entropy policy strictly beats the marginal it was distilled from.
+    CE cannot reach that policy (its optimum IS the marginal);
+    REINFORCE on the sampled sequence score can — the classic
+    exposure/variance gap SCST closes.  Measured on the host metric
+    oracle (12 images x 8 subjects, 2026-08-21): subject-vs-subject
+    hmean(ScanMatch) = 0.433 (the marginal-sampling ceiling) vs
+    mode-vs-subject = 0.529 — ~0.10 of corpus-level headroom before
+    counting the policy-entropy reduction itself."""
+    return make_osie_structured(root, rng, noise_px=40, order_swap_p=0.3,
+                                dwell_noise_ms=100, **kw)
 
 
 def make_all(root: str, seed: int = 0, **kw):
