@@ -362,7 +362,7 @@ def test_tp_sharded_state_checkpoints_interchangeably(tmp_path):
     the shards), so runs trained under --model_parallel and plain
     data-parallel runs are checkpoint-interchangeable."""
     from scanpaths_tpu.utils.checkpointing import (CheckpointManager,
-                                                   restore_checkpoint)
+                                                   restore_best_checkpoint)
     model, _, state, _, _ = _setup()
     mesh = _tp_mesh()
     sh = state_sharding(mesh, state)
@@ -373,9 +373,9 @@ def test_tp_sharded_state_checkpoints_interchangeably(tmp_path):
     mgr = CheckpointManager(str(tmp_path), mode="max")
     mgr.step(1.0, {"params": sharded.params,
                    "batch_stats": sharded.batch_stats})
-    restored = restore_checkpoint(
+    restored = restore_best_checkpoint(
         str(tmp_path), {"params": state.params,
                         "batch_stats": state.batch_stats})
-    for a, b in zip(jax.tree_util.tree_leaves(restored["model"]["params"]),
+    for a, b in zip(jax.tree_util.tree_leaves(restored["params"]),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

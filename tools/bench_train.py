@@ -46,14 +46,19 @@ ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "8"))
 WARMUP = 2
 # (batch, remat mode) — modes per models/scanpath_model.py: "none",
 # "backbone", "scan", "scan_policy", "policy", "all".  The r4-verdict
-# campaign grid: every remat mode at batch 32, the memory-limited
-# modes at 64/96/128 (batch-64 "none" is kept to RECORD the OOM).
-SUP_SWEEP = ((32, "none"), (32, "backbone"), (32, "scan"),
+# campaign grid: the useful remat modes at batch 32, the memory-
+# limited modes at 64/96/128 (batch-64 "none" is kept to RECORD the
+# OOM).  "scan" is excluded: it is dominated by "scan_policy" (same
+# memory class, strictly more recompute) and its grad program hung
+# the remote compiler >28 min at batch 32 (2026-08-21); "all" was
+# measured in r3 (61.9 img/s at batch 64, 45% MFU) and is dominated
+# by "policy" by construction.
+SUP_SWEEP = ((32, "none"), (32, "backbone"),
              (32, "scan_policy"), (32, "policy"),
-             (64, "none"), (64, "backbone"), (64, "scan"),
-             (64, "scan_policy"), (64, "policy"), (64, "all"),
-             (96, "scan_policy"), (96, "policy"), (96, "all"),
-             (128, "policy"), (128, "all"))
+             (64, "none"), (64, "backbone"),
+             (64, "scan_policy"), (64, "policy"),
+             (96, "scan_policy"), (96, "policy"),
+             (128, "policy"))
 RL_SWEEP = (4, 8, 16, 32)
 
 
@@ -335,10 +340,15 @@ def bench_pipeline(batch: int):
 
 def _run_one(args: list[str], env: dict | None = None) -> dict | None:
     """Run one config in a fresh process; parse its last JSON line."""
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)] + args,
-        capture_output=True, text=True, timeout=1800,
-        env={**os.environ, **(env or {})})
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            capture_output=True, text=True, timeout=1800,
+            env={**os.environ, **(env or {})})
+    except subprocess.TimeoutExpired:
+        # a hung remote compile must cost ONE config, not the sweep
+        print(json.dumps({"config": args, "error": "timeout_1800s"}))
+        return None
     sys.stderr.write(proc.stderr[-1500:] if proc.returncode else "")
     for line in reversed(proc.stdout.strip().splitlines()):
         try:

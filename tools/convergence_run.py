@@ -65,8 +65,10 @@ def run(out_path: str = "CONVERGENCE.json", data_root: str = "",
     data_root = data_root or join(tempfile.gettempdir(),
                                   "sp_convergence_headroom")
     if not os.path.exists(join(data_root, "fixations")):
+        # 16 val images x 8 subjects x 4 eval rollouts keeps the val
+        # scalar's sampling noise well under the expected RL lift
         make_osie_headroom(data_root, np.random.default_rng(7),
-                           n_train=96)
+                           n_train=96, n_val=16)
     log_root = log_root or tempfile.mkdtemp(prefix="sp_convergence_")
 
     argv = [
@@ -77,7 +79,7 @@ def run(out_path: str = "CONVERGENCE.json", data_root: str = "",
         "--batch", "16", "--lr", "3e-4",
         "--epoch", str(EPOCHS), "--start_rl_epoch", str(START_RL),
         "--warmup_epoch", "1",
-        "--rl_sample_number", "5", "--eval_repeat_num", "2",
+        "--rl_sample_number", "5", "--eval_repeat_num", "4",
         # the corpus needs lr 3e-4 to converge supervised in 6 epochs;
         # SCST runs at 0.25 * 3e-4 = 7.5e-5 initial (decaying) — the
         # r4 calibration showed 1.5e-4 collapses on the TIGHT corpus
