@@ -49,10 +49,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sp_bench_cache")
 import jax
 import jax.numpy as jnp
 
-# sitecustomize pre-imports jax, so the env var above is read too late;
-# set the config directly so repeat runs hit the persistent cache
+# sitecustomize pre-imports jax, so env vars above are read too late;
+# set the configs directly so repeat runs hit the persistent cache and
+# `JAX_PLATFORMS=cpu python tools/bench_serving.py` really lands on the
+# CPU backend (same treatment as tests/conftest.py)
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import numpy as np
 
 ITERS = int(os.environ.get("BENCH_ITERS", "30"))
