@@ -190,11 +190,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", type=remat_mode, default=False,
                    help="rematerialization mode for backprop: a bool "
                         "(false=none, true=all) or one of none/all/"
-                        "backbone/scan/scan_policy/policy — 'policy' "
-                        "checkpoints the ResNet bottlenecks and the "
-                        "decode-scan body while SAVING the ConvLSTM "
-                        "gate pre-activations (~99%% of per-step "
-                        "FLOPs), the measured large-batch sweet spot "
+                        "backbone/scan/scan_policy/policy — "
+                        "'scan_policy' checkpoints the decode-scan "
+                        "body while SAVING the ConvLSTM gate pre-"
+                        "activations (~99%% of per-step FLOPs): the "
+                        "r5-measured best at EVERY batch (89.3 img/s "
+                        "at b32, beats no-remat; runs b64 at 85.3), "
+                        "recompute bill ~0.1%% of train FLOPs; "
+                        "'policy' adds backbone checkpointing "
                         "(models/scanpath_model.py, docs/PERF.md)")
     p.add_argument("--device_eval", type=str2bool, default=False,
                    help="compute the validation/test metric suite with "
