@@ -300,7 +300,13 @@ def bench_eval_sweep(which):
     for _ in range(reps):
         _sync(pair_rows(*args))
     dev_dt = (time.perf_counter() - t0) / reps
-    # host aggregation share (cheap, identical to the host suite's)
+    # host aggregation share (cheap, identical to the host suite's).
+    # Warm pass first: DeviceSweep's jitted programs otherwise compile
+    # INSIDE the timed window on a cold cache (observed 2026-08-21:
+    # speedup_incl_aggregation read 0.2x instead of ~10x)
+    warm = DeviceSweep(spec_wd, spec_wod)
+    warm.add_batch(gt_fix, gt_len, gt_mask, pred_fix, pred_len)
+    warm.result()
     sweep = DeviceSweep(spec_wd, spec_wod)
     t0 = time.perf_counter()
     sweep.add_batch(gt_fix, gt_len, gt_mask, pred_fix, pred_len)
