@@ -187,17 +187,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "exact space-to-depth reformulation (same "
                         "parameters/checkpoints, fewer idle MXU lanes "
                         "on the 3-channel input)")
-    p.add_argument("--remat", type=remat_mode, default=False,
+    p.add_argument("--remat", type=remat_mode, default="scan_policy",
                    help="rematerialization mode for backprop: a bool "
                         "(false=none, true=all) or one of none/all/"
-                        "backbone/scan/scan_policy/policy — "
+                        "backbone/scan/scan_policy/policy.  Default "
                         "'scan_policy' checkpoints the decode-scan "
                         "body while SAVING the ConvLSTM gate pre-"
                         "activations (~99%% of per-step FLOPs): the "
                         "r5-measured best at EVERY batch (89.3 img/s "
-                        "at b32, beats no-remat; runs b64 at 85.3), "
-                        "recompute bill ~0.1%% of train FLOPs; "
-                        "'policy' adds backbone checkpointing "
+                        "at b32, beats no-remat's 88.3; runs b64 at "
+                        "85.3 where no-remat OOMs) at a ~0.1%%-FLOP "
+                        "recompute bill, grad-identical "
+                        "(tests/test_remat.py); 'policy' adds "
+                        "backbone checkpointing "
                         "(models/scanpath_model.py, docs/PERF.md)")
     p.add_argument("--device_eval", type=str2bool, default=False,
                    help="compute the validation/test metric suite with "
