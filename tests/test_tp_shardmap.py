@@ -249,34 +249,43 @@ def test_cli_shardmap_both_phases(tmp_path):
 
 
 @pytest.mark.slow
-def test_air_task_runs_under_shardmap_tp():
-    """The dual-stream AiR model (factorized SignalGates with
+@pytest.mark.parametrize("task", ["air", "coco"])
+def test_task_plugins_run_under_shardmap_tp(task):
+    """The AiR dual-stream model (factorized SignalGates with
     num_signals=2, per-sample stream select, same/diff-group rewards)
-    must execute under BOTH shard_map TP steps — the CLI exposes
-    --task air --tp_impl shardmap, so a latent break here would be a
-    user-facing bug the osie-only equivalence tests cannot catch."""
+    and the COCO multihead bank (gather+vmap fused-head dispatch) must
+    execute under BOTH shard_map TP steps — the CLI exposes
+    --task {air,coco} --tp_impl shardmap, so a latent break here would
+    be a user-facing bug the osie-only equivalence tests cannot
+    catch."""
     from scanpaths_tpu.core.grid import GridSpec
     from scanpaths_tpu.train.tp_step import (make_tp_rl_step,
-                                             make_tp_supervised_step,
-                                             tp_state_sharding)
+                                             make_tp_supervised_step)
 
     rng = np.random.default_rng(0)
-    plain = create_model("air", **KW)
+    plain = create_model(task, **KW)
     imgs = jnp.asarray(rng.normal(size=(N, H, W, 3)), jnp.float32)
     att = jnp.asarray(rng.uniform(0, 1, (N, 10, 12, 1)), jnp.float32)
-    variables = plain.init(jax.random.PRNGKey(0), imgs,
-                           attention_maps=att, train=False)
+    tids = jnp.asarray(rng.integers(0, 18, (N,)), jnp.int32)
+    init_kw = {"attention_maps": att}
+    if task == "coco":
+        init_kw["task_ids"] = tids
+    variables = plain.init(jax.random.PRNGKey(0), imgs, train=False,
+                           **init_kw)
     optimizer = make_optimizer(_args(), steps_sup=10, steps_rl=10)
     state = steps.TrainState(
         params=variables["params"], batch_stats=variables["batch_stats"],
         opt_state=optimizer.init(variables["params"]), step=jnp.int32(0))
     mesh = make_mesh(4, model_parallel=2)
-    tp_model = create_model("air", tp_axis="model", bn_axis="data",
+    tp_model = create_model(task, tp_axis="model", bn_axis="data",
                             tp_shards=2, **KW)
 
-    sup_batch = dict(_batch(rng), images=imgs, attention_maps=att,
-                     performances=jnp.asarray(
-                         rng.integers(0, 2, (N,)), jnp.float32))
+    sup_batch = dict(_batch(rng), images=imgs, attention_maps=att)
+    if task == "air":
+        sup_batch["performances"] = jnp.asarray(
+            rng.integers(0, 2, (N,)), jnp.float32)
+    else:
+        sup_batch["tasks"] = tids
     step, sh = make_tp_supervised_step(tp_model, optimizer, mesh, state,
                                        1.0)
     st = jax.device_put(state, sh)
@@ -285,7 +294,7 @@ def test_air_task_runs_under_shardmap_tp():
 
     grid = GridSpec(map_width=12, map_height=10, width=W, height=H,
                     max_length=3, min_length=1)
-    cfg = steps.RLConfig(task="air", grid=grid, rl_sample_number=2,
+    cfg = steps.RLConfig(task=task, grid=grid, rl_sample_number=2,
                          max_symbols_wd=64, max_symbols_wod=8)
     smax, glen = 3, 4
     gt = np.zeros((N, smax, glen, 3), np.float32)
@@ -297,13 +306,17 @@ def test_air_task_runs_under_shardmap_tp():
         "gt_fix": jnp.asarray(gt),
         "gt_len": jnp.full((N, smax), glen, jnp.int32),
         "gt_mask": jnp.ones((N, smax), jnp.float32),
-        "gt_performance": jnp.asarray(
-            rng.integers(0, 2, (N, smax)), jnp.float32),
     }
+    if task == "air":
+        rl_batch["gt_performance"] = jnp.asarray(
+            rng.integers(0, 2, (N, smax)), jnp.float32)
+    else:
+        rl_batch["tasks"] = tids
     rl = make_tp_rl_step(tp_model, optimizer, mesh, state, cfg)
     st, rm = rl(st, rl_batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(rm["rl_loss"]))
-    assert np.isfinite(float(rm["reward_same_hmean"]))
+    key = "reward_same_hmean" if task == "air" else "reward_hmean"
+    assert np.isfinite(float(rm[key]))
 
 
 def test_tp_specs_shard_only_decode_kernels():
