@@ -208,7 +208,8 @@ def bench_fwd(batch: int, remat="none"):
     imgs = batch / dt
     print(json.dumps({
         "metric": "train_forward_only_images_per_sec",
-        "value": round(imgs, 2), "batch": batch, "dtype": "bfloat16",
+        "value": round(imgs, 2), "batch": batch,
+        "remat": model.remat_mode, "dtype": "bfloat16",
         "fwd_ms": round(dt * 1e3, 2),
         "fwd_mfu": round(imgs * fwd_flops / bench.peak_flops("bfloat16"), 4),
         "checksum": round(checksum, 4)}))
