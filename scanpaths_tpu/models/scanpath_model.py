@@ -81,8 +81,9 @@ class ScanpathModel(nn.Module):
     #                     ~99% of per-step FLOPs, so saving its output
     #                     makes the step's recompute nearly free while
     #                     still dropping the attention/head/elementwise
-    #                     residuals — the measured sweet spot
-    #                     (docs/PERF.md round-4 training campaign)
+    #                     residuals — measured fastest at EVERY batch
+    #                     and the CLI default (docs/PERF.md round-5
+    #                     campaign)
     #   "policy"        — "backbone" + "scan_policy" combined (the
     #                     large-batch default: batch 64+ fits with a
     #                     recompute bill of only the 14% trunk)
